@@ -1,0 +1,182 @@
+"""Parity tests for nerve_tpu.ops against the PyTorch semantics the reference
+relies on (torch runs on CPU here purely as a numerical oracle)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from nerve_tpu import ops
+
+
+def _nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)).copy())
+
+
+def _to_nhwc(t: torch.Tensor) -> np.ndarray:
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+class TestPixelShuffle:
+    @pytest.mark.parametrize("scale", [2, 3, 4])
+    def test_matches_torch(self, rng, scale):
+        x = rng.standard_normal((2, 5, 7, 3 * scale * scale)).astype(np.float32)
+        ours = np.asarray(ops.pixel_shuffle(jnp.asarray(x), scale))
+        theirs = _to_nhwc(torch.pixel_shuffle(_nchw(x), scale))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+
+class TestResize:
+    @pytest.mark.parametrize("scale", [2, 4])
+    def test_bicubic_upsample_close_to_torch(self, rng, scale):
+        x = rng.random((2, 16, 12, 3)).astype(np.float32)
+        ours = np.asarray(ops.upsample_bicubic(jnp.asarray(x), scale))
+        theirs = _to_nhwc(
+            F.interpolate(_nchw(x), scale_factor=scale, mode="bicubic", align_corners=False)
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+    def test_bicubic_downscale_matches_torch(self, rng):
+        x = rng.random((1, 16, 16, 3)).astype(np.float32)
+        ours = np.asarray(ops.resize_bicubic(jnp.asarray(x), (9, 7)))
+        theirs = _to_nhwc(
+            F.interpolate(_nchw(x), size=(9, 7), mode="bicubic", align_corners=False)
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+    def test_bilinear_matches_torch(self, rng):
+        x = rng.random((1, 9, 11, 4)).astype(np.float32)
+        ours = np.asarray(ops.resize_bilinear(jnp.asarray(x), (18, 22)))
+        theirs = _to_nhwc(
+            F.interpolate(_nchw(x), size=(18, 22), mode="bilinear", align_corners=False)
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+class TestFlowWarp:
+    def test_matches_grid_sample(self, rng):
+        """Parity with the reference warp (super_resolution.py:104-143):
+        grid + flow, normalised, grid_sample bilinear/zeros/align_corners=True."""
+        b, h, w, c = 2, 13, 17, 8
+        feat = rng.standard_normal((b, h, w, c)).astype(np.float32)
+        flow = (rng.standard_normal((b, h, w, 2)) * 3).astype(np.float32)
+
+        ours = np.asarray(ops.flow_warp(jnp.asarray(feat), jnp.asarray(flow)))
+
+        tfeat = _nchw(feat)
+        tflow = _nchw(flow)
+        gy, gx = torch.meshgrid(
+            torch.arange(h, dtype=torch.float32),
+            torch.arange(w, dtype=torch.float32),
+            indexing="ij",
+        )
+        grid = torch.stack([gx, gy], dim=0).unsqueeze(0).expand(b, -1, -1, -1)
+        grid = grid + tflow
+        grid = grid.clone()
+        grid[:, 0] = 2.0 * grid[:, 0] / (w - 1) - 1.0
+        grid[:, 1] = 2.0 * grid[:, 1] / (h - 1) - 1.0
+        grid = grid.permute(0, 2, 3, 1)
+        theirs = _to_nhwc(
+            F.grid_sample(tfeat, grid, mode="bilinear", padding_mode="zeros", align_corners=True)
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+    def test_zero_flow_is_identity(self, rng):
+        feat = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+        out = np.asarray(ops.flow_warp(jnp.asarray(feat), jnp.zeros((1, 8, 8, 2), np.float32)))
+        np.testing.assert_allclose(out, feat, rtol=1e-5, atol=1e-5)
+
+
+class TestCorrelation:
+    def _torch_corr(self, f1, f2, d):
+        """The reference loop, verbatim semantics (efficient_layers.py:313-343)."""
+        x1, x2 = _nchw(f1), _nchw(f2)
+        b, c, h, w = x1.shape
+        x2p = F.pad(x2, [d, d, d, d])
+        out = []
+        for i in range(2 * d + 1):
+            for j in range(2 * d + 1):
+                sl = x2p[:, :, i : i + h, j : j + w]
+                out.append((x1 * sl).sum(dim=1, keepdim=True))
+        return _to_nhwc(torch.cat(out, dim=1) / c)
+
+    @pytest.mark.parametrize("d", [1, 4])
+    def test_xla_matches_reference_semantics(self, rng, d):
+        f1 = rng.standard_normal((2, 10, 12, 16)).astype(np.float32)
+        f2 = rng.standard_normal((2, 10, 12, 16)).astype(np.float32)
+        ours = np.asarray(
+            ops.correlation_volume(jnp.asarray(f1), jnp.asarray(f2), d, use_pallas=False)
+        )
+        theirs = self._torch_corr(f1, f2, d)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+    def test_grad_flows(self, rng):
+        f1 = jnp.asarray(rng.standard_normal((1, 6, 6, 4)).astype(np.float32))
+        f2 = jnp.asarray(rng.standard_normal((1, 6, 6, 4)).astype(np.float32))
+        g = jax.grad(lambda a, b: jnp.sum(ops.correlation_volume(a, b, 2, use_pallas=False)))(
+            f1, f2
+        )
+        assert g.shape == f1.shape
+        assert bool(jnp.any(g != 0))
+
+
+class TestPooling:
+    def test_max_pool2d_matches_torch(self, rng):
+        x = rng.standard_normal((2, 16, 16, 8)).astype(np.float32)
+        ours = np.asarray(ops.max_pool2d(jnp.asarray(x), 3, 2, 1))
+        theirs = _to_nhwc(F.max_pool2d(_nchw(x), 3, 2, 1))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("out_size,in_size", [(8, 32), (8, 20), (1, 7)])
+    def test_adaptive_avg_pool_matches_torch(self, rng, out_size, in_size):
+        x = rng.standard_normal((2, in_size, in_size, 4)).astype(np.float32)
+        ours = np.asarray(ops.adaptive_avg_pool2d(jnp.asarray(x), out_size))
+        theirs = _to_nhwc(F.adaptive_avg_pool2d(_nchw(x), out_size))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+class TestMetrics:
+    def test_psnr_known_value(self):
+        from nerve_tpu.utils.metrics import psnr
+
+        a = jnp.zeros((1, 8, 8, 3))
+        b = jnp.full((1, 8, 8, 3), 0.1)
+        # MSE = 0.01 → PSNR = 20 dB
+        np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-4)
+
+    def test_ssim_identity_is_one(self, rng):
+        from nerve_tpu.utils.metrics import ssim
+
+        x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+        assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_ssim_matches_torch_reference(self, rng):
+        """Compare against a straightforward torch implementation of windowed SSIM."""
+        from nerve_tpu.utils.metrics import ssim
+
+        x = rng.random((1, 40, 40, 1)).astype(np.float32)
+        y = np.clip(x + rng.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
+        ours = float(ssim(jnp.asarray(x), jnp.asarray(y)))
+
+        # torch oracle
+        tx, ty = _nchw(x), _nchw(y)
+        k = torch.arange(11, dtype=torch.float32) - 5
+        g = torch.exp(-(k**2) / (2 * 1.5**2))
+        g = (g / g.sum()).view(1, 1, 11, 1)
+        win = g @ g.view(1, 1, 1, 11)
+
+        def blur(z):
+            return F.conv2d(z, win)
+
+        mu_x, mu_y = blur(tx), blur(ty)
+        sxx = blur(tx * tx) - mu_x**2
+        syy = blur(ty * ty) - mu_y**2
+        sxy = blur(tx * ty) - mu_x * mu_y
+        c1, c2 = 0.01**2, 0.03**2
+        s = ((2 * mu_x * mu_y + c1) * (2 * sxy + c2)) / (
+            (mu_x**2 + mu_y**2 + c1) * (sxx + syy + c2)
+        )
+        np.testing.assert_allclose(ours, float(s.mean()), rtol=1e-4, atol=1e-4)
