@@ -1,0 +1,196 @@
+"""Frame recovery (inpainting) network (flax.linen, NHWC).
+
+TPU-native re-design of nerve_cl/models/frame_recovery.py:
+  SpatialEncoder   — frame_recovery.py:23-108 (ResNet-style, 16× downsample, CBAM)
+  TemporalEncoder  — frame_recovery.py:111-167 ((2+1)D convs over NTHWC + pooling)
+  FusionModule     — frame_recovery.py:170-257
+  Decoder          — frame_recovery.py:260-332 (4× transposed conv, tanh)
+  FrameRecoveryNet — frame_recovery.py:335-446
+
+Deliberate fixes of verified reference defects (SURVEY.md §7):
+  * FusionModule's spatial/temporal "projections" are LEARNED 1×1 convs here;
+    the reference builds fixed all-ones conv weights per forward
+    (frame_recovery.py:243-250), i.e. an unlearnable channel-mean.
+  * Decoder ignores its skip_connections argument in the reference
+    (frame_recovery.py:311-332); we keep the same topology (no skips) for
+    architecture parity but don't carry the dead parameter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from nerve_tpu import ops
+from nerve_tpu.models.layers import CBAM, ResidualBlock, TemporalConv3D
+
+Dtype = Any
+
+
+class SpatialEncoder(nn.Module):
+    """7×7/s2 stem + maxpool + 3 residual stages (16× total downsample) + CBAM."""
+
+    base_channels: int = 64
+    num_blocks: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        skips = []
+        bc = self.base_channels
+
+        x = nn.Conv(bc, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = ops.max_pool2d(x, 3, 2, 1)
+        skips.append(x)
+
+        def stage(x, out_ch, stride, name):
+            in_ch = x.shape[-1]
+            if stride != 1 or in_ch != out_ch:
+                x = nn.Conv(out_ch, (1, 1), strides=stride, use_bias=False,
+                            dtype=self.dtype, name=f"{name}_down")(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=self.dtype, name=f"{name}_down_bn")(x)
+            for i in range(self.num_blocks):
+                x = ResidualBlock(dtype=self.dtype, name=f"{name}_block{i}")(x, train)
+            return x
+
+        x = stage(x, bc, 1, "stage1")
+        skips.append(x)
+        x = stage(x, bc * 2, 2, "stage2")
+        skips.append(x)
+        x = stage(x, bc * 4, 2, "stage3")
+        x = CBAM(dtype=self.dtype, name="attention")(x)
+        return x, skips
+
+
+class TemporalEncoder(nn.Module):
+    """(2+1)D conv stack over (B, T, H, W, C) with spatial pooling and
+    temporal averaging → (B, H/4, W/4, out_channels)."""
+
+    out_channels: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = TemporalConv3D(64, dtype=self.dtype, name="conv1")(frames, train)
+        x = ops.max_pool3d_spatial(x)
+        x = TemporalConv3D(128, dtype=self.dtype, name="conv2")(x, train)
+        x = ops.max_pool3d_spatial(x)
+        x = TemporalConv3D(self.out_channels, dtype=self.dtype, name="conv3")(x, train)
+        # AdaptiveAvgPool3d((1, None, None)) ⇔ mean over T.
+        return jnp.mean(x, axis=1)
+
+
+class FusionModule(nn.Module):
+    """Attention-weighted fusion of spatial and temporal features."""
+
+    out_channels: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, spatial_feat: jnp.ndarray, temporal_feat: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        if spatial_feat.shape[1:3] != temporal_feat.shape[1:3]:
+            temporal_feat = ops.resize_bilinear(temporal_feat, spatial_feat.shape[1:3])
+
+        concat = jnp.concatenate([spatial_feat, temporal_feat], axis=-1)
+        aligned = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="align")(concat)
+
+        a = nn.relu(nn.Conv(self.out_channels // 4, (1, 1), dtype=self.dtype, name="attn0")(aligned))
+        attn = nn.softmax(nn.Conv(2, (1, 1), dtype=self.dtype, name="attn1")(a), axis=-1)
+
+        # Learned projections (reference defect fix — see module docstring).
+        spatial_proj = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                               dtype=self.dtype, name="spatial_proj")(spatial_feat)
+        temporal_proj = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                                dtype=self.dtype, name="temporal_proj")(temporal_feat)
+
+        fused = attn[..., 0:1] * spatial_proj + attn[..., 1:2] * temporal_proj
+
+        out = aligned + fused
+        out = ResidualBlock(dtype=self.dtype, name="refine0")(out, train)
+        out = ResidualBlock(dtype=self.dtype, name="refine1")(out, train)
+        return CBAM(dtype=self.dtype, name="refine_cbam")(out)
+
+
+class Decoder(nn.Module):
+    """4× (transposed conv + BN + ReLU) = 16× upsample, then 3×3 conv + tanh."""
+
+    out_channels: int = 3
+    base_channels: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        bc = self.base_channels
+        for i, ch in enumerate([bc * 4, bc * 2, bc, bc // 2]):
+            x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), padding="SAME",
+                                 use_bias=False, dtype=self.dtype, name=f"up{i+1}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype, name=f"up{i+1}_bn")(x)
+            x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="final")(x)
+        return jnp.tanh(x)
+
+
+class FrameRecoveryNet(nn.Module):
+    """Mask-conditioned frame recovery with temporal context.
+
+    Forward contract (parity with frame_recovery.py:397-442):
+      corrupted_frame (B, H, W, C), reference_frames (B, T, H, W, C),
+      corruption_mask (B, H, W, 1) with 1 = corrupted. Output (B, H, W, C),
+      blended so uncorrupted pixels pass through unchanged:
+      ``out = frame·(1-mask) + recovered·mask``.
+    """
+
+    in_channels: int = 3
+    base_channels: int = 64
+    temporal_window: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        corrupted_frame: jnp.ndarray,
+        reference_frames: jnp.ndarray,
+        corruption_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        b, h, w, c = corrupted_frame.shape
+        if corruption_mask is None:
+            corruption_mask = jnp.zeros((b, h, w, 1), corrupted_frame.dtype)
+
+        x = corrupted_frame.astype(self.dtype)
+        mask = corruption_mask.astype(self.dtype)
+        spatial_input = jnp.concatenate([x, mask], axis=-1)
+
+        spatial_feat, _skips = SpatialEncoder(
+            self.base_channels, dtype=self.dtype, name="spatial_encoder"
+        )(spatial_input, train)
+        temporal_feat = TemporalEncoder(
+            self.base_channels * 4, dtype=self.dtype, name="temporal_encoder"
+        )(reference_frames.astype(self.dtype), train)
+
+        fused = FusionModule(
+            self.base_channels * 4, dtype=self.dtype, name="fusion"
+        )(spatial_feat, temporal_feat, train)
+
+        recovered = Decoder(
+            self.in_channels, self.base_channels, dtype=self.dtype, name="decoder"
+        )(fused, train)
+
+        recovered = recovered.astype(jnp.float32)
+        if recovered.shape[1:3] != (h, w):
+            recovered = ops.resize_bilinear(recovered, (h, w))
+
+        frame32 = corrupted_frame.astype(jnp.float32)
+        mask32 = corruption_mask.astype(jnp.float32)
+        return frame32 * (1.0 - mask32) + recovered * mask32

@@ -1,0 +1,230 @@
+"""Primitive NN building blocks (L0 layer), NHWC, flax.linen.
+
+TPU-native re-design of the reference's layer zoo
+(nerve_cl/models/layers/efficient_layers.py:1-343). Same architectural
+semantics — depthwise-separable convs, sub-pixel upsampling, CBAM attention,
+(2+1)D temporal convs — but as pure functional modules in NHWC layout so XLA
+tiles every conv onto the MXU, with BatchNorm carried in a mutable
+``batch_stats`` collection (torch momentum 0.1 ⇔ flax momentum 0.9,
+eps 1e-5 for parity).
+
+The correlation layer lives in :mod:`nerve_tpu.ops.correlation` (it is an op
+with a Pallas kernel, not a parameterised module — the reference's
+``LiteFlowNetCorrelation`` has no weights either, efficient_layers.py:297-343).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from nerve_tpu import ops
+
+Dtype = Any
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """Depthwise 3×3 + pointwise 1×1 + BN + ReLU.
+
+    Parity: efficient_layers.py:9-67 (bias-free convs, BN after pointwise).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            in_ch,
+            (self.kernel_size, self.kernel_size),
+            strides=self.stride,
+            padding=self.kernel_size // 2,
+            feature_group_count=in_ch,
+            use_bias=False,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            self.features, (1, 1), use_bias=False, dtype=self.dtype, name="pointwise"
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+        )(x)
+        return nn.relu(x)
+
+
+class PixelShuffleUpsampler(nn.Module):
+    """3×3 conv to C·s² channels followed by depth-to-space.
+
+    Parity: efficient_layers.py:70-106.
+    """
+
+    scale_factor: int = 2
+    out_channels: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden = self.out_channels * self.scale_factor**2
+        x = nn.Conv(hidden, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return ops.pixel_shuffle(x, self.scale_factor)
+
+
+class ResidualBlock(nn.Module):
+    """Two conv blocks with identity skip; efficient path = DW-separable convs.
+
+    Parity: efficient_layers.py:109-151 (conv1 = DWSepConv(BN+ReLU),
+    conv2 = depthwise+pointwise+BN without activation, then add + ReLU).
+    """
+
+    use_efficient: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        channels = x.shape[-1]
+        identity = x
+        if self.use_efficient:
+            out = DepthwiseSeparableConv(channels, dtype=self.dtype, name="conv1")(
+                x, train
+            )
+            out = nn.Conv(
+                channels,
+                (3, 3),
+                padding=1,
+                feature_group_count=channels,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv2_dw",
+            )(out)
+            out = nn.Conv(
+                channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv2_pw"
+            )(out)
+        else:
+            out = nn.Conv(
+                channels, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv1"
+            )(x)
+            out = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn1",
+            )(out)
+            out = nn.relu(out)
+            out = nn.Conv(
+                channels, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2"
+            )(out)
+        out = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn2",
+        )(out)
+        return nn.relu(out + identity)
+
+
+class ChannelAttention(nn.Module):
+    """SE-style channel attention. Parity: efficient_layers.py:154-180."""
+
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        channels = x.shape[-1]
+        y = ops.global_avg_pool(x)  # (B, C)
+        y = nn.Dense(max(1, channels // self.reduction), use_bias=False, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Dense(channels, use_bias=False, dtype=self.dtype)(y)
+        y = nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class SpatialAttention(nn.Module):
+    """Mean/max channel-pool → 7×7 conv → sigmoid mask.
+
+    Parity: efficient_layers.py:183-205.
+    """
+
+    kernel_size: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        y = jnp.concatenate([avg, mx], axis=-1)
+        y = nn.Conv(
+            1,
+            (self.kernel_size, self.kernel_size),
+            padding=self.kernel_size // 2,
+            use_bias=False,
+            dtype=self.dtype,
+        )(y)
+        return x * nn.sigmoid(y)
+
+
+class CBAM(nn.Module):
+    """Channel attention followed by spatial attention.
+
+    Parity: efficient_layers.py:208-228.
+    """
+
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = ChannelAttention(self.reduction, dtype=self.dtype)(x)
+        return SpatialAttention(dtype=self.dtype)(x)
+
+
+def _temporal_mid_channels(in_ch: int, out_ch: int, tk: int) -> int:
+    """(2+1)D mid-channel formula — parity with efficient_layers.py:253-256."""
+    mid = (in_ch * out_ch * 3 * 3 * tk) // (in_ch * 3 * 3 + out_ch * tk)
+    return max(mid, out_ch // 2)
+
+
+class TemporalConv3D(nn.Module):
+    """(2+1)D-factorised 3D conv: 1×3×3 spatial then T×1×1 temporal, each BN+ReLU.
+
+    Layout: (B, T, H, W, C). Parity: efficient_layers.py:231-294 (reference is
+    NCTHW; channel math identical).
+    """
+
+    features: int
+    temporal_kernel: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        mid = _temporal_mid_channels(in_ch, self.features, self.temporal_kernel)
+        x = nn.Conv(
+            mid,
+            (1, 3, 3),
+            padding=((0, 0), (1, 1), (1, 1)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="spatial",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="spatial_bn",
+        )(x)
+        x = nn.relu(x)
+        tp = self.temporal_kernel // 2
+        x = nn.Conv(
+            self.features,
+            (self.temporal_kernel, 1, 1),
+            padding=((tp, tp), (0, 0), (0, 0)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="temporal",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="temporal_bn",
+        )(x)
+        return nn.relu(x)

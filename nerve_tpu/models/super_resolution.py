@@ -1,0 +1,232 @@
+"""Temporal super-resolution networks (flax.linen, NHWC, fully batched).
+
+TPU-native re-design of nerve_cl/models/super_resolution.py:
+  * The reference's per-frame Python loops (super_resolution.py:346-349 feature
+    extraction, :355-363 flow+warp) become single batched computations over a
+    folded (B·T) or (B·(T-1)) leading axis — one conv dispatch instead of T.
+  * The correlation volume is the Pallas kernel in nerve_tpu.ops.correlation.
+  * Warping is the gather-based ``ops.flow_warp`` (grid_sample parity).
+  * The bicubic residual base uses the torch-parity A=-0.75 kernel.
+
+Architecture parity (channels, depths, residual scaling) with:
+  FeatureExtractor        — super_resolution.py:22-54
+  MotionEstimator         — super_resolution.py:57-101
+  TemporalAggregator      — super_resolution.py:146-209
+  ResidualDenseBlock      — super_resolution.py:212-253
+  SuperResolutionNet      — super_resolution.py:256-431
+  LightweightSuperResolution — super_resolution.py:434-470
+
+Input contract (native): (B, T, H, W, C) with T == 2*temporal_window + 1;
+output (B, H*scale, W*scale, C) in [0, 1]. The reference's channel-first
+(B, T, C, H, W) contract is preserved by the facade in nerve_tpu.models.api.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from nerve_tpu import ops
+from nerve_tpu.models.layers import CBAM, DepthwiseSeparableConv, PixelShuffleUpsampler
+
+Dtype = Any
+
+
+class FeatureExtractor(nn.Module):
+    """Conv head + 3 DW-separable convs with residual. Parity: :22-54."""
+
+    num_features: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        feat = nn.Conv(self.num_features, (3, 3), padding=1, dtype=self.dtype, name="head")(x)
+        feat = nn.relu(feat)
+        body = feat
+        for i in range(3):
+            body = DepthwiseSeparableConv(
+                self.num_features, dtype=self.dtype, name=f"body{i}"
+            )(body, train)
+        return body + feat
+
+
+class MotionEstimator(nn.Module):
+    """Correlation volume → 4-conv flow head → (dx, dy). Parity: :57-101."""
+
+    max_displacement: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat1: jnp.ndarray, feat2: jnp.ndarray) -> jnp.ndarray:
+        corr = ops.correlation_volume(feat1, feat2, self.max_displacement)
+        corr = corr.astype(self.dtype)
+        x = nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=self.dtype, name="flow0")(corr))
+        x = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=self.dtype, name="flow1")(x))
+        x = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="flow2")(x))
+        flow = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, name="flow3")(x)
+        return flow
+
+
+class TemporalAggregator(nn.Module):
+    """Softmax-over-T attention fusion + CBAM refinement. Parity: :146-209.
+
+    Input: (B, T, H, W, F) aligned features (frame-major channel concat matches
+    the reference's ``stacked.view(B, T*C, H, W)`` ordering at :197).
+    """
+
+    num_features: int = 64
+    num_frames: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, aligned: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, t, h, w, f = aligned.shape
+        concat = jnp.transpose(aligned, (0, 2, 3, 1, 4)).reshape(b, h, w, t * f)
+        x = nn.relu(nn.Conv(f, (3, 3), padding=1, dtype=self.dtype, name="attn0")(concat))
+        x = nn.relu(nn.Conv(f, (3, 3), padding=1, dtype=self.dtype, name="attn1")(x))
+        attn = nn.Conv(t, (3, 3), padding=1, dtype=self.dtype, name="attn2")(x)
+        attn = nn.softmax(attn, axis=-1)  # (B, H, W, T)
+        weighted = jnp.einsum("bthwf,bhwt->bhwf", aligned, attn)
+        return CBAM(dtype=self.dtype, name="refine")(weighted)
+
+
+class ResidualDenseBlock(nn.Module):
+    """5 dense 3×3 convs + 1×1 fusion + 0.2-scaled residual. Parity: :212-253."""
+
+    num_features: int = 64
+    growth_rate: int = 32
+    num_layers: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = [x]
+        for i in range(self.num_layers):
+            inp = jnp.concatenate(features, axis=-1)
+            out = nn.relu(
+                nn.Conv(self.growth_rate, (3, 3), padding=1, dtype=self.dtype, name=f"dense{i}")(inp)
+            )
+            features.append(out)
+        fused = nn.Conv(
+            self.num_features, (1, 1), dtype=self.dtype, name="lff"
+        )(jnp.concatenate(features, axis=-1))
+        return fused * 0.2 + x
+
+
+class SuperResolutionNet(nn.Module):
+    """Flagship motion-compensated temporal SR network. Parity: :256-431.
+
+    Pipeline: batched feature extraction → flow estimation + warp of every
+    non-center frame toward the center → attention aggregation → N residual
+    dense blocks → global fusion + center skip → pixel-shuffle upsampling →
+    bicubic residual base → clamp [0, 1].
+    """
+
+    in_channels: int = 3
+    scale_factor: int = 2
+    num_features: int = 64
+    num_residual_blocks: int = 8
+    temporal_window: int = 1
+    dtype: Dtype = jnp.float32
+
+    @property
+    def num_frames(self) -> int:
+        return 2 * self.temporal_window + 1
+
+    @nn.compact
+    def __call__(self, lr_frames: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, t, h, w, c = lr_frames.shape
+        if t != self.num_frames:
+            raise ValueError(
+                f"expected T={self.num_frames} frames (2*temporal_window+1), got {t}"
+            )
+        center = t // 2
+        x = lr_frames.astype(self.dtype)
+
+        # Feature extraction over all frames in one batch (replaces the
+        # reference's per-frame loop at :346-349).
+        feats = FeatureExtractor(self.num_features, dtype=self.dtype, name="feature_extractor")(
+            x.reshape(b * t, h, w, c), train
+        ).reshape(b, t, h, w, self.num_features)
+
+        center_feat = feats[:, center]
+
+        if t > 1:
+            # All non-center frames flow-aligned to the center in one batch
+            # (replaces the loop at :355-363).
+            neighbors = jnp.concatenate([feats[:, :center], feats[:, center + 1 :]], axis=1)
+            n = t - 1
+            nb = neighbors.reshape(b * n, h, w, self.num_features)
+            ctr = jnp.broadcast_to(
+                center_feat[:, None], (b, n, h, w, self.num_features)
+            ).reshape(b * n, h, w, self.num_features)
+            flow = MotionEstimator(dtype=self.dtype, name="motion_estimator")(nb, ctr)
+            warped = ops.flow_warp(nb, flow).reshape(b, n, h, w, self.num_features)
+            aligned = jnp.concatenate(
+                [warped[:, :center], center_feat[:, None], warped[:, center:]], axis=1
+            )
+        else:
+            aligned = center_feat[:, None]
+
+        aggregated = TemporalAggregator(
+            self.num_features, t, dtype=self.dtype, name="temporal_aggregator"
+        )(aligned, train)
+
+        residual = aggregated
+        for i in range(self.num_residual_blocks):
+            residual = ResidualDenseBlock(
+                self.num_features, dtype=self.dtype, name=f"rdb{i}"
+            )(residual)
+
+        fused = nn.relu(
+            nn.Conv(self.num_features, (3, 3), padding=1, dtype=self.dtype, name="gff")(residual)
+        )
+        fused = fused + center_feat
+
+        hr_residual = PixelShuffleUpsampler(
+            self.scale_factor, self.in_channels, dtype=self.dtype, name="upsampler"
+        )(fused)
+
+        bicubic = ops.upsample_bicubic(lr_frames[:, center], self.scale_factor)
+        out = bicubic.astype(jnp.float32) + hr_residual.astype(jnp.float32)
+        return jnp.clip(out, 0.0, 1.0)
+
+
+class LightweightSuperResolution(nn.Module):
+    """Single-frame ultra-light SR. Parity: :434-470.
+
+    Input (B, H, W, C); output (B, H·s, W·s, C) in [0, 1].
+    """
+
+    scale_factor: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        inp = x.astype(self.dtype)
+        y = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="head")(inp))
+        for i in range(4):
+            y = DepthwiseSeparableConv(32, dtype=self.dtype, name=f"body{i}")(y, train)
+        y = nn.Conv(3 * self.scale_factor**2, (3, 3), padding=1, dtype=self.dtype, name="tail")(y)
+        residual = ops.pixel_shuffle(y, self.scale_factor)
+        base = ops.upsample_bicubic(x, self.scale_factor)
+        return jnp.clip(base.astype(jnp.float32) + residual.astype(jnp.float32), 0.0, 1.0)
+
+
+def estimate_sr_flops(
+    input_hw: tuple[int, int] = (128, 128),
+    num_features: int = 64,
+    num_frames: int = 3,
+    scale_factor: int = 2,
+) -> int:
+    """Coarse FLOPs estimate — parity with SuperResolutionNet.get_flops (:411-431)."""
+    h, w = input_hw
+    c = 3
+    f = num_features
+    flops = h * w * c * f * 9
+    flops += h * w * f * 81 * (num_frames - 1)
+    flops += h * w * f * f * 9 * 8
+    flops += h * w * f * (c * scale_factor**2) * 9
+    return flops

@@ -1,0 +1,223 @@
+"""Shape-contract and behaviour tests for the model stack.
+
+Mirrors the reference test strategy (tests/test_models.py in the reference:
+layer output shapes, recovery shape preservation, SR at scales 2/3/4,
+engine dict keys) plus extra behavioural checks the reference lacks.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nerve_tpu import models
+
+
+KEY = jax.random.PRNGKey(0)
+
+
+def init_and_apply(module, *args, method=None, **kwargs):
+    variables = module.init(KEY, *args, **kwargs)
+    out = module.apply(variables, *args, method=method, **kwargs)
+    return variables, out
+
+
+class TestLayers:
+    def test_depthwise_separable_conv_shape(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+        m = models.DepthwiseSeparableConv(16)
+        _, out = init_and_apply(m, x)
+        assert out.shape == (2, 16, 16, 16)
+
+    def test_pixel_shuffle_upsampler_shape(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)).astype(np.float32))
+        m = models.PixelShuffleUpsampler(scale_factor=2, out_channels=3)
+        _, out = init_and_apply(m, x)
+        assert out.shape == (2, 16, 16, 3)
+
+    def test_residual_block_preserves_shape(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 12, 12, 16)).astype(np.float32))
+        m = models.ResidualBlock()
+        _, out = init_and_apply(m, x)
+        assert out.shape == x.shape
+
+    def test_cbam_preserves_shape(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 12, 12, 32)).astype(np.float32))
+        m = models.CBAM()
+        _, out = init_and_apply(m, x)
+        assert out.shape == x.shape
+
+    def test_temporal_conv3d_shape(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 5, 8, 8, 16)).astype(np.float32))
+        m = models.TemporalConv3D(32)
+        _, out = init_and_apply(m, x)
+        assert out.shape == (2, 5, 8, 8, 32)
+
+    def test_batchnorm_train_updates_stats(self, rng):
+        x = jnp.asarray(rng.standard_normal((4, 8, 8, 8)).astype(np.float32) * 3 + 1)
+        m = models.DepthwiseSeparableConv(8)
+        variables = m.init(KEY, x)
+        _, mutated = m.apply(variables, x, True, mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+        )
+
+
+class TestSuperResolution:
+    @pytest.mark.parametrize("scale", [2, 3, 4])
+    def test_output_shape_scales(self, rng, scale):
+        x = jnp.asarray(rng.random((1, 3, 16, 16, 3)).astype(np.float32))
+        m = models.SuperResolutionNet(
+            scale_factor=scale, num_features=16, num_residual_blocks=2
+        )
+        _, out = init_and_apply(m, x)
+        assert out.shape == (1, 16 * scale, 16 * scale, 3)
+
+    def test_output_in_unit_range(self, rng):
+        x = jnp.asarray(rng.random((1, 3, 16, 16, 3)).astype(np.float32))
+        m = models.SuperResolutionNet(num_features=16, num_residual_blocks=2)
+        _, out = init_and_apply(m, x)
+        assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+
+    def test_wrong_frame_count_raises(self, rng):
+        x = jnp.asarray(rng.random((1, 5, 8, 8, 3)).astype(np.float32))
+        m = models.SuperResolutionNet(temporal_window=1, num_features=8, num_residual_blocks=1)
+        with pytest.raises(ValueError, match="expected T=3"):
+            m.init(KEY, x)
+
+    def test_temporal_window_2(self, rng):
+        x = jnp.asarray(rng.random((1, 5, 8, 8, 3)).astype(np.float32))
+        m = models.SuperResolutionNet(
+            temporal_window=2, num_features=8, num_residual_blocks=1
+        )
+        _, out = init_and_apply(m, x)
+        assert out.shape == (1, 16, 16, 3)
+
+    def test_lightweight_sr(self, rng):
+        x = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        m = models.LightweightSuperResolution(scale_factor=2)
+        variables, out = init_and_apply(m, x)
+        assert out.shape == (2, 32, 32, 3)
+        n_params = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
+        # Reference LightweightSuperResolution measures 9,868 params (BASELINE.md).
+        assert n_params < 20_000
+
+    def test_gradients_flow_to_all_params(self, rng):
+        x = jnp.asarray(rng.random((1, 3, 8, 8, 3)).astype(np.float32))
+        y = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        m = models.SuperResolutionNet(num_features=8, num_residual_blocks=1)
+        variables = m.init(KEY, x)
+
+        def loss(params):
+            out = m.apply({**variables, "params": params}, x)
+            return jnp.mean((out - y) ** 2)
+
+        grads = jax.grad(loss)(variables["params"])
+        norms = [float(jnp.linalg.norm(g)) for g in jax.tree_util.tree_leaves(grads)]
+        assert all(np.isfinite(n) for n in norms)
+        # At least the vast majority of parameters receive gradient signal.
+        nonzero = sum(n > 0 for n in norms)
+        assert nonzero / len(norms) > 0.9
+
+
+class TestFrameRecovery:
+    def test_shape_preservation_and_blend(self, rng):
+        frame = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        refs = jnp.asarray(rng.random((1, 2, 64, 64, 3)).astype(np.float32))
+        mask = np.zeros((1, 64, 64, 1), np.float32)
+        mask[:, 20:40, 20:40] = 1.0
+        mask = jnp.asarray(mask)
+        m = models.FrameRecoveryNet(base_channels=16)
+        _, out = init_and_apply(m, frame, refs, mask)
+        assert out.shape == frame.shape
+        # Uncorrupted pixels must pass through exactly (mask blend contract,
+        # reference frame_recovery.py:440).
+        np.testing.assert_allclose(
+            np.asarray(out)[0, :10, :10], np.asarray(frame)[0, :10, :10], atol=1e-6
+        )
+
+    def test_zero_mask_is_identity(self, rng):
+        frame = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        refs = jnp.asarray(rng.random((1, 2, 64, 64, 3)).astype(np.float32))
+        m = models.FrameRecoveryNet(base_channels=16)
+        variables = m.init(KEY, frame, refs, None)
+        out = m.apply(variables, frame, refs, jnp.zeros((1, 64, 64, 1)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(frame), atol=1e-6)
+
+
+class TestEnhancementEngine:
+    def test_sr_only_keys_and_shape(self, rng):
+        frames = jnp.asarray(rng.random((1, 3, 16, 16, 3)).astype(np.float32))
+        cfg = models.EngineConfig(
+            frame_recovery_enabled=False,
+            sr_num_features=8,
+            sr_num_residual_blocks=1,
+        )
+        m = models.EnhancementEngine(cfg)
+        _, out = init_and_apply(m, frames)
+        assert set(out) == {"super_resolved", "enhanced"}
+        assert out["enhanced"].shape == (1, 32, 32, 3)
+
+    def test_full_pipeline_with_mask(self, rng):
+        frames = jnp.asarray(rng.random((1, 5, 32, 32, 3)).astype(np.float32))
+        mask = np.zeros((1, 32, 32, 1), np.float32)
+        mask[:, 8:16, 8:16] = 1.0
+        cfg = models.EngineConfig(
+            recovery_base_channels=16, sr_num_features=8, sr_num_residual_blocks=1
+        )
+        m = models.EnhancementEngine(cfg)
+        _, out = init_and_apply(m, frames, None, jnp.asarray(mask))
+        assert set(out) == {"recovered", "super_resolved", "enhanced"}
+        assert out["recovered"].shape == (1, 32, 32, 3)
+        assert out["enhanced"].shape == (1, 64, 64, 3)
+
+    def test_strength_zero_gives_bicubic(self, rng):
+        from nerve_tpu import ops
+
+        frames = jnp.asarray(rng.random((1, 3, 16, 16, 3)).astype(np.float32))
+        cfg = models.EngineConfig(
+            frame_recovery_enabled=False, sr_num_features=8, sr_num_residual_blocks=1
+        )
+        m = models.EnhancementEngine(cfg)
+        variables = m.init(KEY, frames)
+        out = m.apply(variables, frames, None, None, jnp.zeros(1))
+        bicubic = ops.resize_bicubic(frames[:, 1], (32, 32))
+        np.testing.assert_allclose(
+            np.asarray(out["enhanced"]), np.asarray(bicubic), atol=1e-5
+        )
+
+    def test_enhance_video_shapes(self, rng):
+        video = jnp.asarray(rng.random((1, 6, 16, 16, 3)).astype(np.float32))
+        cfg = models.EngineConfig(
+            frame_recovery_enabled=False, sr_num_features=8, sr_num_residual_blocks=1,
+            sr_temporal_window=1,
+        )
+        m = models.EnhancementEngine(cfg)
+        variables = m.init(KEY, video[:, :3])
+        out = m.apply(variables, video, method="enhance_video")
+        assert out.shape == (1, 6, 32, 32, 3)
+
+    def test_mode_presets(self):
+        cfg = models.EngineConfig()
+        lw = cfg.with_mode("lightweight")
+        assert lw.use_lightweight_sr and not lw.frame_recovery_enabled
+        ro = cfg.with_mode("recovery_only")
+        assert ro.frame_recovery_enabled and not ro.super_resolution_enabled
+        assert models.select_mode_for_budget(0.2) == "lightweight"
+        assert models.select_mode_for_budget(0.5) == "sr_only"
+        assert models.select_mode_for_budget(0.9) == "full"
+
+    def test_adaptive_engine(self, rng):
+        frames = jnp.asarray(rng.random((1, 3, 16, 16, 3)).astype(np.float32))
+        cfg = models.EngineConfig(
+            frame_recovery_enabled=False, sr_num_features=8, sr_num_residual_blocks=1
+        )
+        m = models.AdaptiveEnhancementEngine(cfg)
+        variables = m.init(KEY, frames)
+        out = m.apply(variables, frames, 0.7, 0.8)
+        assert "complexity" in out and "enhancement_strength" in out
+        s = float(out["enhancement_strength"])
+        assert 0.3 <= s <= 1.0
