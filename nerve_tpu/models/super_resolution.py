@@ -53,19 +53,36 @@ class FeatureExtractor(nn.Module):
 
 
 class MotionEstimator(nn.Module):
-    """Correlation volume → 4-conv flow head → (dx, dy). Parity: :57-101."""
+    """Correlation volume → 4-conv flow head → (dx, dy). Parity: :57-101.
+
+    ``downsample`` > 1 estimates flow at reduced resolution (the standard
+    LiteFlowNet/PWC-style coarse-level correlation) and bilinearly upsamples
+    the flow back, scaling its magnitude — a TPU serving optimisation that
+    cuts the cost-volume work by downsample². downsample=1 is the
+    reference-exact full-resolution path.
+    """
 
     max_displacement: int = 4
+    downsample: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat1: jnp.ndarray, feat2: jnp.ndarray) -> jnp.ndarray:
-        corr = ops.correlation_volume(feat1, feat2, self.max_displacement)
+        ds = self.downsample
+        b, h, w, c = feat1.shape
+        if ds > 1:
+            f1 = nn.avg_pool(feat1, (ds, ds), strides=(ds, ds))
+            f2 = nn.avg_pool(feat2, (ds, ds), strides=(ds, ds))
+        else:
+            f1, f2 = feat1, feat2
+        corr = ops.correlation_volume(f1, f2, self.max_displacement)
         corr = corr.astype(self.dtype)
         x = nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=self.dtype, name="flow0")(corr))
         x = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=self.dtype, name="flow1")(x))
         x = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="flow2")(x))
         flow = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, name="flow3")(x)
+        if ds > 1:
+            flow = ops.resize_bilinear(flow, (h, w)) * float(ds)
         return flow
 
 
@@ -129,6 +146,7 @@ class SuperResolutionNet(nn.Module):
     num_features: int = 64
     num_residual_blocks: int = 8
     temporal_window: int = 1
+    flow_downsample: int = 1  # >1: coarse-level flow (serving optimisation)
     dtype: Dtype = jnp.float32
 
     @property
@@ -162,7 +180,9 @@ class SuperResolutionNet(nn.Module):
             ctr = jnp.broadcast_to(
                 center_feat[:, None], (b, n, h, w, self.num_features)
             ).reshape(b * n, h, w, self.num_features)
-            flow = MotionEstimator(dtype=self.dtype, name="motion_estimator")(nb, ctr)
+            flow = MotionEstimator(
+                downsample=self.flow_downsample, dtype=self.dtype, name="motion_estimator"
+            )(nb, ctr)
             warped = ops.flow_warp(nb, flow).reshape(b, n, h, w, self.num_features)
             aligned = jnp.concatenate(
                 [warped[:, :center], center_feat[:, None], warped[:, center:]], axis=1

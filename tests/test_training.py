@@ -1,0 +1,112 @@
+"""Training-substrate tests: the jitted step learns, and the data-parallel
+path produces the same result as single-device (8 virtual CPU devices)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nerve_tpu import training
+from nerve_tpu.config.schema import TrainingConfig
+from nerve_tpu.models import SuperResolutionNet
+from nerve_tpu.parallel import make_mesh, shard_batch
+from nerve_tpu.utils import data as data_lib
+
+
+def _tiny_model():
+    return SuperResolutionNet(num_features=8, num_residual_blocks=1)
+
+
+def _dataset(n=32, lr_size=16):
+    key = jax.random.PRNGKey(0)
+    return data_lib.make_sr_dataset(key, n, lr_size=lr_size, scale=2)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        data = _dataset()
+        model = _tiny_model()
+        cfg = TrainingConfig(
+            epochs=3, batch_size=8, learning_rate=3e-3, warmup_epochs=0,
+            scheduler="constant",
+        )
+        state, history = training.fit_sr(
+            model, data, data, cfg, num_frames=3, log_fn=lambda s: None
+        )
+        assert np.isfinite(history["final_loss"])
+        # Should beat doing nothing: PSNR above 15 dB after a few epochs.
+        assert history["final_psnr"] > 15.0
+
+    def test_step_is_deterministic(self):
+        data = _dataset(8)
+        model = _tiny_model()
+        tx = training.create_optimizer(TrainingConfig(epochs=1), 1)
+        lr_win = data_lib.expand_temporal(jnp.asarray(data["lr"][:8]), 3)
+        hr = jnp.asarray(data["hr"][:8])
+        step = training.make_sr_train_step(model)
+        s1 = training.create_sr_state(model, lr_win, tx, seed=0)
+        s2 = training.create_sr_state(model, lr_win, tx, seed=0)
+        _, m1 = step(s1, lr_win, hr)
+        _, m2 = step(s2, lr_win, hr)
+        assert float(m1["loss"]) == float(m2["loss"])
+
+
+class TestDataParallel:
+    def test_sharded_step_matches_single_device(self):
+        assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+        data = _dataset(16)
+        model = _tiny_model()
+        tx = training.create_optimizer(
+            TrainingConfig(epochs=1, scheduler="constant", warmup_epochs=0), 1
+        )
+        lr_win = data_lib.expand_temporal(jnp.asarray(data["lr"][:16]), 3)
+        hr = jnp.asarray(data["hr"][:16])
+
+        # Single-device baseline.
+        step0 = training.make_sr_train_step(model)
+        s0 = training.create_sr_state(model, lr_win, tx, seed=0)
+        s0, m0 = step0(s0, lr_win, hr)
+
+        # 8-way data-parallel.
+        mesh = make_mesh(data=8)
+        stepN = training.make_sr_train_step(model, mesh=mesh)
+        sN = training.create_sr_state(model, lr_win, tx, seed=0)
+        batch = shard_batch({"lr": lr_win, "hr": hr}, mesh)
+        sN, mN = stepN(sN, batch["lr"], batch["hr"])
+
+        np.testing.assert_allclose(float(m0["loss"]), float(mN["loss"]), rtol=1e-5)
+        # Parameters after one update must agree.
+        l0 = jax.tree_util.tree_leaves(s0.params)
+        lN = jax.tree_util.tree_leaves(sN.params)
+        for a, b in zip(l0, lN):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+class TestData:
+    def test_sr_dataset_shapes_and_range(self):
+        d = _dataset(4, 16)
+        assert d["lr"].shape == (4, 16, 16, 3)
+        assert d["hr"].shape == (4, 32, 32, 3)
+        assert d["lr"].min() >= 0 and d["hr"].max() <= 1
+
+    def test_batches_fixed_shape(self):
+        d = _dataset(10, 8)
+        shapes = [b["lr"].shape for b in data_lib.batches(d, 4)]
+        assert shapes == [(4, 8, 8, 3), (4, 8, 8, 3)]
+
+    def test_corruption_mask(self):
+        key = jax.random.PRNGKey(0)
+        frames = jnp.ones((2, 32, 32, 3))
+        corrupted, mask = data_lib.add_corruption(key, frames)
+        assert mask.shape == (2, 32, 32, 1)
+        assert float(mask.sum()) > 0
+        # Corrupted pixels are zeroed.
+        np.testing.assert_allclose(
+            np.asarray(corrupted) * np.asarray(mask), 0.0, atol=1e-6
+        )
+
+    def test_task_sequence(self):
+        tasks = data_lib.make_task_sequence(0, num_tasks=3, samples_per_task=4)
+        assert len(tasks) == 3
+        names = [t[0] for t in tasks]
+        assert names == ["sports", "animation", "movie"]
