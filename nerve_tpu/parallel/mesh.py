@@ -44,11 +44,10 @@ def make_mesh(
                 f"{n} devices not divisible by client*model={client * model}"
             )
         data = n // (client * model)
-    if data * client * model != n:
-        raise ValueError(
-            f"mesh {data}x{client}x{model} != {n} devices"
-        )
-    arr = np.asarray(devices).reshape(data, client, model)
+    need = data * client * model
+    if need > n:
+        raise ValueError(f"mesh {data}x{client}x{model} needs {need} devices, have {n}")
+    arr = np.asarray(devices[:need]).reshape(data, client, model)
     return Mesh(arr, AXES)
 
 

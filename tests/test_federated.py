@@ -1,0 +1,295 @@
+"""Federated subsystem tests: wire format, DP, strategy math, real in-process
+training, mesh-FedAvg simulation (8 virtual devices), socket transport, and
+clustering — covering exactly the area the reference leaves untested
+(SURVEY.md §4: its only FL 'test' is a stub simulation)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nerve_tpu import federated
+from nerve_tpu.federated.privacy import (
+    PrivacyConfig,
+    compute_noise_multiplier,
+    dp_gradient_transform,
+    get_privacy_spent,
+    make_private_loss_grad,
+)
+from nerve_tpu.federated.simulation import MeshFederatedSimulation, dryrun_fedavg_mesh
+from nerve_tpu.models import LightweightSuperResolution
+from nerve_tpu.parallel import make_mesh
+from nerve_tpu.utils import data as data_lib
+
+
+class TestWireFormat:
+    def test_roundtrip(self):
+        tree = {"a": jnp.ones((2, 3)), "b": {"c": jnp.arange(4, dtype=jnp.int32)}}
+        arrays = federated.tree_to_arrays(tree)
+        assert all(isinstance(a, np.ndarray) for a in arrays)
+        back = federated.tree_from_arrays(tree, arrays)
+        for x, y in zip(jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(back)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_wrong_count_raises(self):
+        tree = {"a": jnp.ones(3)}
+        with pytest.raises(ValueError):
+            federated.tree_from_arrays(tree, [])
+
+
+class TestPrivacy:
+    def test_noise_multiplier_formula(self):
+        sigma = compute_noise_multiplier(8.0, 1e-5, 100)
+        assert sigma > 0
+
+    def test_privacy_spent_monotone_in_steps(self):
+        e1 = get_privacy_spent(10, 8, 100, 1.0)
+        e2 = get_privacy_spent(100, 8, 100, 1.0)
+        assert e2 > e1
+        assert get_privacy_spent(10, 8, 100, 0.0) == float("inf")
+
+    def test_dp_transform_clips(self):
+        tx = dp_gradient_transform(max_grad_norm=1.0, noise_multiplier=0.0)
+        grads = {"w": jnp.full((10,), 100.0)}
+        state = tx.init(grads)
+        clipped, _ = tx.update(grads, state)
+        norm = float(jnp.linalg.norm(clipped["w"]))
+        assert norm == pytest.approx(1.0, rel=1e-5)
+
+    def test_dp_transform_adds_noise(self):
+        tx = dp_gradient_transform(max_grad_norm=1.0, noise_multiplier=1.0, batch_size=1)
+        grads = {"w": jnp.zeros((1000,))}
+        state = tx.init(grads)
+        noised, _ = tx.update(grads, state)
+        assert float(jnp.std(noised["w"])) > 0.5  # σ·C/B = 1
+
+    def test_per_sample_clipping(self):
+        def loss_fn(p, batch):
+            x, y = batch
+            return jnp.mean((x @ p["w"] - y) ** 2)
+
+        params = {"w": jnp.ones((4, 2))}
+        x = jnp.concatenate([jnp.ones((1, 4)) * 100, jnp.ones((7, 4)) * 0.01])
+        y = jnp.zeros((8, 2))
+        fn = make_private_loss_grad(loss_fn, max_grad_norm=1.0)
+        loss, grads = fn(params, (x, y))
+        # Each per-sample grad is clipped to norm ≤ 1 → mean norm ≤ 1.
+        assert float(jnp.linalg.norm(grads["w"])) <= 1.0 + 1e-5
+
+
+class TestStrategy:
+    def test_weighted_average(self):
+        out = federated.weighted_average([(1, {"loss": 1.0}), (3, {"loss": 5.0})])
+        assert out["loss"] == pytest.approx(4.0)
+
+    def test_aggregate_fit_weighted(self):
+        strat = federated.VideoEnhancementStrategy(keep_last_versions=2)
+        a = [np.zeros((2, 2))]
+        b = [np.full((2, 2), 4.0)]
+        agg, metrics = strat.aggregate_fit(1, [(a, 1, {"m": 0.0}), (b, 3, {"m": 1.0})])
+        np.testing.assert_allclose(agg[0], np.full((2, 2), 3.0))
+        assert metrics["m"] == pytest.approx(0.75)
+
+    def test_version_retention(self):
+        strat = federated.VideoEnhancementStrategy(keep_last_versions=2)
+        for i in range(5):
+            strat.aggregate_fit(i, [([np.full((1,), float(i))], 1, {})])
+        assert len(strat.model_versions) == 2
+        assert strat.model_versions[-1][0][0] == 4.0
+
+    def test_configure_fit_adaptive_epochs(self):
+        strat = federated.VideoEnhancementStrategy(
+            fraction_fit=0.5, min_fit_clients=2, epoch_reduction_round=50
+        )
+        clients = [f"c{i}" for i in range(10)]
+        sel, cfg = strat.configure_fit(1, clients)
+        assert len(sel) == 5 and cfg["local_epochs"] == 5
+        _, cfg2 = strat.configure_fit(51, clients)
+        assert cfg2["local_epochs"] == 3
+
+    def test_min_fit_clients_floor(self):
+        strat = federated.VideoEnhancementStrategy(fraction_fit=0.01, min_fit_clients=2)
+        sel, _ = strat.configure_fit(1, ["a", "b", "c"])
+        assert len(sel) == 2
+
+
+def _make_clients(n=3, samples=8):
+    model = LightweightSuperResolution(scale_factor=2)
+    clients = []
+    for i in range(n):
+        key = jax.random.PRNGKey(i)
+        d = data_lib.make_sr_dataset(key, samples, lr_size=8, scale=2,
+                                     content_offset=(i - 1) / 2)
+        clients.append(
+            federated.VideoEnhancementClient(
+                model, d, num_frames=1, local_epochs=2, batch_size=4,
+                learning_rate=3e-3, seed=i,
+            )
+        )
+    return model, clients
+
+
+class _SingleFrameWrapper:
+    pass
+
+
+class TestFederatedTrainer:
+    def test_real_training_improves_loss(self):
+        """The reference's FederatedTrainer is a stub (server.py:166-193);
+        ours must actually reduce client loss over rounds."""
+        model, clients = _make_clients()
+        init = clients[0].get_parameters()
+        trainer = federated.FederatedTrainer(
+            clients,
+            init,
+            federated.VideoEnhancementStrategy(fraction_fit=1.0, min_fit_clients=3),
+        )
+        trainer.run(3)
+        assert len(trainer.history) == 3
+        # Aggregated rounds must make progress: client train loss shrinks
+        # round over round (the reference's stub trainer can't do this).
+        losses = [h["train_loss"] for h in trainer.history]
+        assert losses[-1] < losses[0]
+        ev = trainer.evaluate_round()
+        assert np.isfinite(ev["loss"])
+
+
+class TestMeshSimulation:
+    def test_fedavg_matches_manual_average(self):
+        """Weighted psum-FedAvg over the client mesh == hand-computed FedAvg."""
+        mesh = make_mesh(data=1, client=8)
+
+        def loss_fn(p, batch):
+            x, y = batch
+            return jnp.mean((x @ p["w"] - y) ** 2)
+
+        key = jax.random.PRNGKey(0)
+        params = {"w": jax.random.normal(key, (4, 2))}
+        n_clients = 8
+        kx, ky = jax.random.split(key)
+        xs = jax.random.normal(kx, (n_clients, 16, 4))
+        ys = jax.random.normal(ky, (n_clients, 16, 2))
+        weights = np.arange(1, n_clients + 1, dtype=np.float32)
+
+        sim = MeshFederatedSimulation(
+            loss_fn, params, (xs, ys), weights=weights, mesh=mesh,
+            local_steps=3, local_lr=0.1,
+        )
+        sim.run_round()
+
+        # Manual FedAvg on host.
+        def local(p, x, y, steps=3, lr=0.1):
+            for _ in range(steps):
+                g = jax.grad(loss_fn)(p, (x, y))
+                p = jax.tree_util.tree_map(lambda pi, gi: pi - lr * gi, p, g)
+            return p
+
+        deltas = []
+        for c in range(n_clients):
+            adapted = local(params, xs[c], ys[c])
+            deltas.append(adapted["w"] - params["w"])
+        manual = params["w"] + sum(
+            w * d for w, d in zip(weights, deltas)
+        ) / weights.sum()
+        np.testing.assert_allclose(
+            np.asarray(sim.params["w"]), np.asarray(manual), rtol=1e-4, atol=1e-5
+        )
+
+    def test_dp_round_runs(self):
+        dryrun_fedavg_mesh(8)
+
+    def test_progress_on_shared_task(self):
+        mesh = make_mesh(data=1, client=4)
+
+        def loss_fn(p, batch):
+            x, y = batch
+            return jnp.mean((x @ p["w"] - y) ** 2)
+
+        key = jax.random.PRNGKey(0)
+        true_w = jax.random.normal(key, (4, 2))
+        params = {"w": jnp.zeros((4, 2))}
+        xs = jax.random.normal(key, (8, 32, 4))
+        ys = jnp.einsum("cnd,de->cne", xs, true_w)
+        sim = MeshFederatedSimulation(
+            loss_fn, params, (xs, ys), mesh=mesh, local_steps=5, local_lr=0.1
+        )
+        first = sim.run_round()["update_norm"]
+        for _ in range(10):
+            sim.run_round()
+        final_loss = float(loss_fn(sim.params, (xs[0], ys[0])))
+        assert final_loss < 0.05
+        assert first > 0
+
+
+class TestTransport:
+    def test_socket_round_trip(self):
+        """One real fit round over the socket transport (server + client threads)."""
+        model, clients = _make_clients(n=2, samples=4)
+        init = clients[0].get_parameters()
+
+        from nerve_tpu.federated import transport
+
+        server = transport.FLServerTransport("127.0.0.1:0")
+        try:
+            threads = [
+                threading.Thread(
+                    target=transport.run_client,
+                    args=(clients[i], f"127.0.0.1:{server.port}", f"c{i}"),
+                    daemon=True,
+                )
+                for i in range(2)
+            ]
+            for t in threads:
+                t.start()
+            ids = server.wait_for_clients(2, timeout=10)
+            assert len(ids) == 2
+            strat = federated.VideoEnhancementStrategy(fraction_fit=1.0, min_fit_clients=2)
+            selected, cfg = strat.configure_fit(1, ids)
+            results = []
+            for cid in selected:
+                meta, arrays = server.request(cid, "fit", cfg, init)
+                results.append((arrays, int(meta["num_samples"]), meta["metrics"]))
+            agg, metrics = strat.aggregate_fit(1, results)
+            assert agg is not None and "train_loss" in metrics
+        finally:
+            server.close()
+
+
+class TestClustering:
+    def _profiles(self, n=20):
+        rng = np.random.default_rng(0)
+        profs = []
+        for i in range(n):
+            profs.append(
+                federated.UserProfile(
+                    user_id=f"u{i}",
+                    content_preferences={"sports": float(i < n // 2), "movie": float(i >= n // 2)},
+                    quality_preference=float(rng.random()),
+                    network_pattern="wifi" if i % 2 else "4g",
+                    device_tier="high" if i < n // 2 else "low",
+                )
+            )
+        return profs
+
+    def test_register_predict_and_update(self):
+        uc = federated.UserClustering(num_clusters=2)
+        for p in self._profiles():
+            uc.register_user(p)
+        uc.update_clusters()
+        labels = set(uc.labels.values())
+        assert len(labels) == 2
+        # The two synthetic populations should separate.
+        first_half = {uc.labels[f"u{i}"] for i in range(10)}
+        second_half = {uc.labels[f"u{i}"] for i in range(10, 20)}
+        assert first_half.isdisjoint(second_half)
+
+    def test_cluster_stats(self):
+        uc = federated.UserClustering(num_clusters=2)
+        for p in self._profiles():
+            uc.register_user(p)
+        uc.update_clusters()
+        stats = uc.get_cluster_stats()
+        assert sum(s["size"] for s in stats.values()) == 20
