@@ -22,7 +22,7 @@ import numpy as np
 
 from nerve_tpu import load_config, training
 from nerve_tpu.models import SuperResolutionNet
-from nerve_tpu.parallel import make_mesh
+from nerve_tpu.parallel import best_data_mesh as make_mesh_for_batch
 from nerve_tpu.utils import data as data_lib
 from nerve_tpu.utils.checkpoint import CheckpointManager
 
@@ -57,7 +57,7 @@ def main(argv=None):
     )
 
     print(f"devices: {jax.devices()}")
-    mesh = make_mesh(data=-1)
+    mesh = make_mesh_for_batch(args.batch_size)
 
     # Synthetic datasets matching the reference's shapes
     # (scripts/download_data.sh:25-41: LR 64², HR 128², 500 train / 100 val).

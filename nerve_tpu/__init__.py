@@ -26,4 +26,4 @@ Capability pillars (parity map to the reference):
 
 __version__ = "0.1.0"
 
-from nerve_tpu.config import Config, load_config  # noqa: F401
+from nerve_tpu.config import Config, load_config, save_config  # noqa: F401

@@ -9,6 +9,7 @@ a model/spatial axis reserved for halo-sharded convs at 4K+.
 """
 
 from nerve_tpu.parallel.mesh import (  # noqa: F401
+    best_data_mesh,
     batch_sharding,
     local_device_count,
     make_mesh,

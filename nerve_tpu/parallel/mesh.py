@@ -51,6 +51,17 @@ def make_mesh(
     return Mesh(arr, AXES)
 
 
+def best_data_mesh(batch_size: int, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Largest data-parallel mesh whose size divides ``batch_size``."""
+    n = len(devices) if devices is not None else jax.device_count()
+    size = 1
+    for d in range(min(n, batch_size), 0, -1):
+        if batch_size % d == 0 and d <= n:
+            size = d
+            break
+    return make_mesh(data=size, devices=devices)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding for a batch-leading array: leading dim over `axis`."""
     return NamedSharding(mesh, P(axis))
