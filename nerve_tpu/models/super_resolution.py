@@ -110,26 +110,46 @@ class TemporalAggregator(nn.Module):
 
 
 class ResidualDenseBlock(nn.Module):
-    """5 dense 3×3 convs + 1×1 fusion + 0.2-scaled residual. Parity: :212-253."""
+    """5 dense 3×3 convs + 1×1 fusion + 0.2-scaled residual. Parity: :212-253.
+
+    Parameters are declared explicitly so the forward can dispatch between
+    two mathematically-identical implementations: the fused Pallas kernel
+    (``nerve_tpu.ops.rdb`` — the whole block in VMEM, one HBM round-trip) on
+    TPU, and the XLA conv formulation elsewhere / for autodiff.
+    """
 
     num_features: int = 64
     growth_rate: int = 32
     num_layers: int = 5
     dtype: Dtype = jnp.float32
+    use_pallas: bool | None = None  # None → auto (TPU backend only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        features = [x]
+        from nerve_tpu.ops import rdb as rdb_ops
+
+        c = self.num_features
+        params = []
+        cin = c
         for i in range(self.num_layers):
-            inp = jnp.concatenate(features, axis=-1)
-            out = nn.relu(
-                nn.Conv(self.growth_rate, (3, 3), padding=1, dtype=self.dtype, name=f"dense{i}")(inp)
+            k = self.param(
+                f"dense{i}_kernel",
+                nn.initializers.he_normal(),
+                (3, 3, cin, self.growth_rate),
+                jnp.float32,
             )
-            features.append(out)
-        fused = nn.Conv(
-            self.num_features, (1, 1), dtype=self.dtype, name="lff"
-        )(jnp.concatenate(features, axis=-1))
-        return fused * 0.2 + x
+            b = self.param(f"dense{i}_bias", nn.initializers.zeros, (self.growth_rate,), jnp.float32)
+            params += [k.astype(self.dtype), b.astype(self.dtype)]
+            cin += self.growth_rate
+        lw = self.param("lff_kernel", nn.initializers.lecun_normal(), (cin, c), jnp.float32)
+        lb = self.param("lff_bias", nn.initializers.zeros, (c,), jnp.float32)
+        params += [lw.astype(self.dtype), lb.astype(self.dtype)]
+
+        x = x.astype(self.dtype)
+        use_pallas = self.use_pallas
+        if self.num_layers != rdb_ops.NUM_LAYERS:
+            use_pallas = False  # fused kernel is specialised to the 5-layer block
+        return rdb_ops.rdb_apply(x, params, use_pallas=use_pallas)
 
 
 class SuperResolutionNet(nn.Module):

@@ -69,7 +69,8 @@ def _corr_kernel(f1_ref, band0_ref, band1_ref, out_ref, *, d: int, th: int, w: i
         for dj in range(D):
             f2s = band[di : di + th, dj : dj + w, :]
             prod = (f1 * f2s).astype(jnp.float32)
-            out_ref[0, di * D + dj, :, :] = jnp.sum(prod, axis=-1) * inv_c
+            corr = jnp.sum(prod, axis=-1) * inv_c
+            out_ref[0, di * D + dj, :, :] = corr.astype(out_ref.dtype)
 
 
 def _correlation_pallas(
@@ -124,7 +125,7 @@ def _correlation_pallas(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((eff_b, D * D, h + ph, eff_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((eff_b, D * D, h + ph, eff_w), f1.dtype),
         grid=(eff_b, nh),
         in_specs=[
             pl.BlockSpec(

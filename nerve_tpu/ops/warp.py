@@ -6,21 +6,28 @@ and calls ``F.grid_sample(mode='bilinear', padding_mode='zeros',
 align_corners=True)``. The reference normalises pixel+flow coordinates to
 [-1, 1] and grid_sample denormalises with align_corners=True — the composition
 is exactly "sample at (x + flow_x, y + flow_y) in pixel coordinates", so we
-implement that directly: a 4-tap bilinear gather with per-tap zero padding
-(each out-of-bounds corner contributes zero, matching grid_sample's
-padding_mode='zeros').
+implement that directly.
 
-The gather is expressed with ``jnp.take_along_axis`` over a flattened H*W
-axis, which XLA lowers to TPU gathers; a fused Pallas variant lives behind
-the same API for the hot serving path.
+Formulation (chosen for TPU gather throughput): ONE ``lax.gather`` fetches a
+(2, 2, C) patch per output pixel at the clamped integer corner, and each
+patch position p gets the tent weight max(0, 1 − |coord − p|). The tent is
+the exact bilinear weight for any integer position and vanishes beyond
+distance 1, which reproduces grid_sample's zero padding uniformly: positions
+pushed inside by the clamp are never true taps and tent-weight to zero, and
+fully out-of-range samples weight to zero entirely. One 4-tap gather instead
+of four 1-tap gathers quarters the gather-row count — the dominant cost of
+warping on TPU.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
-def flow_warp(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def flow_warp(
+    features: jnp.ndarray, flow: jnp.ndarray, chunk_rows: int = 128
+) -> jnp.ndarray:
     """Warp features backward along a flow field.
 
     Args:
@@ -28,39 +35,83 @@ def flow_warp(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         flow: (B, H, W, 2) flow in pixels; flow[..., 0] = dx, flow[..., 1] = dy
             (same channel order as the reference: grid_x+flow[:,0],
             grid_y+flow[:,1], super_resolution.py:126-133).
+        chunk_rows: output rows gathered per sequential chunk. The 4-tap patch
+            buffer is 4× the feature map (2.1 GB at 1080p×64ch); chunking
+            bounds peak HBM to ~4·chunk_rows·W·C while the gathers stream.
 
     Returns:
         (B, H, W, C): features sampled at (x + dx, y + dy), bilinear,
         zeros outside the image.
     """
     b, h, w, c = features.shape
-    compute_dtype = jnp.promote_types(features.dtype, jnp.float32)
+    if chunk_rows and h > chunk_rows:
+        nchunks = -(-h // chunk_rows)
+        hp = nchunks * chunk_rows
+        flow_p = jnp.pad(flow, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+        flow_chunks = flow_p.reshape(b, nchunks, chunk_rows, w, 2)
+        row0 = (jnp.arange(nchunks) * chunk_rows).astype(jnp.float32)
 
-    gx = jnp.arange(w, dtype=compute_dtype)[None, None, :]
-    gy = jnp.arange(h, dtype=compute_dtype)[None, :, None]
-    x = gx + flow[..., 0].astype(compute_dtype)
-    y = gy + flow[..., 1].astype(compute_dtype)
+        def one(args):
+            fl, r0 = args
+            # Shift dy so chunk-local row indices sample the full image.
+            fl = fl.at[..., 1].add(r0)
+            return _warp_rows(features, fl)
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
+        out = lax.map(one, (jnp.moveaxis(flow_chunks, 1, 0), row0))
+        out = jnp.moveaxis(out, 0, 1).reshape(b, hp, w, c)
+        return out[:, :h]
+    return _warp_rows(features, flow)
 
-    feat_flat = features.reshape(b, h * w, c)
 
-    def tap(xi: jnp.ndarray, yi: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
-        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        idx = (yc * w + xc).reshape(b, h * w, 1)
-        vals = jnp.take_along_axis(feat_flat, idx, axis=1).reshape(b, h, w, c)
-        weight = jnp.where(valid, weight, 0.0).astype(compute_dtype)
-        return vals.astype(compute_dtype) * weight[..., None]
+def _warp_rows(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Warp a (B, Hout, W, 2) flow block against the full (B, H, W, C) source.
 
-    out = (
-        tap(x0, y0, (1 - wx) * (1 - wy))
-        + tap(x0 + 1, y0, wx * (1 - wy))
-        + tap(x0, y0 + 1, (1 - wx) * wy)
-        + tap(x0 + 1, y0 + 1, wx * wy)
+    Output row r samples source coordinate (x + dx, dy) — i.e. the flow's dy
+    must already be absolute source row coordinates minus nothing; callers
+    chunking rows pre-add the chunk's base row offset.
+    """
+    b, h, w, c = features.shape
+    hout = flow.shape[1]
+    coord_dtype = jnp.float32
+
+    gx = jnp.arange(w, dtype=coord_dtype)[None, None, :]
+    gy = jnp.arange(hout, dtype=coord_dtype)[None, :, None]
+    x = gx + flow[..., 0].astype(coord_dtype)
+    y = gy + flow[..., 1].astype(coord_dtype)
+
+    xs = jnp.clip(jnp.floor(x), 0.0, float(max(w - 2, 0))).astype(jnp.int32)
+    ys = jnp.clip(jnp.floor(y), 0.0, float(max(h - 2, 0))).astype(jnp.int32)
+
+    # One gather of (2, 2, C) patches at (ys, xs) per output pixel.
+    starts = jnp.stack([ys, xs], axis=-1).reshape(b, hout * w, 2)
+    patches = lax.gather(
+        features,
+        starts,
+        lax.GatherDimensionNumbers(
+            offset_dims=(2, 3, 4),
+            collapsed_slice_dims=(),
+            start_index_map=(1, 2),
+            operand_batching_dims=(0,),
+            start_indices_batching_dims=(0,),
+        ),
+        slice_sizes=(1, min(2, h), min(2, w), c),
+        mode=lax.GatherScatterMode.CLIP,
+    )
+    ph, pw = min(2, h), min(2, w)
+    patches = patches.reshape(b, hout, w, ph, pw, c)
+
+    def tent(coord, start, size):
+        pos = start[..., None].astype(coord_dtype) + jnp.arange(size, dtype=coord_dtype)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(coord[..., None] - pos))
+
+    wy = tent(y, ys, ph)  # (B, Hout, W, ph)
+    wx = tent(x, xs, pw)  # (B, Hout, W, pw)
+    # Keep the big patch tensor in the feature dtype — contracting only the 4
+    # taps, f32 accumulation via preferred_element_type is plenty.
+    weights = (wy[..., :, None] * wx[..., None, :]).astype(features.dtype)
+
+    out = jnp.einsum(
+        "bhwyx,bhwyxc->bhwc", weights, patches,
+        preferred_element_type=jnp.float32,
     )
     return out.astype(features.dtype)

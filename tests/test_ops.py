@@ -84,6 +84,13 @@ class TestFlowWarp:
         )
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
 
+    def test_chunked_matches_unchunked(self, rng):
+        feat = jnp.asarray(rng.standard_normal((1, 16, 12, 4)).astype(np.float32))
+        flow = jnp.asarray((rng.standard_normal((1, 16, 12, 2)) * 4).astype(np.float32))
+        full = ops.flow_warp(feat, flow, chunk_rows=0)
+        chunked = ops.flow_warp(feat, flow, chunk_rows=4)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-5)
+
     def test_zero_flow_is_identity(self, rng):
         feat = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
         out = np.asarray(ops.flow_warp(jnp.asarray(feat), jnp.zeros((1, 8, 8, 2), np.float32)))
@@ -121,6 +128,44 @@ class TestCorrelation:
         )
         assert g.shape == f1.shape
         assert bool(jnp.any(g != 0))
+
+
+class TestFusedRDB:
+    def _params(self, rng, c=16):
+        params = []
+        cin = c
+        for _ in range(5):
+            params.append(jnp.asarray(rng.standard_normal((3, 3, cin, 32)).astype(np.float32)) * 0.05)
+            params.append(jnp.asarray(rng.standard_normal((32,)).astype(np.float32)) * 0.01)
+            cin += 32
+        params.append(jnp.asarray(rng.standard_normal((cin, c)).astype(np.float32)) * 0.05)
+        params.append(jnp.zeros((c,), jnp.float32))
+        return tuple(params)
+
+    def test_pallas_matches_xla_formulation(self, rng):
+        """Fused kernel (interpret mode) vs the XLA RDB — tolerance covers the
+        MXU's default bf16 operand rounding, which interpret mode emulates."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from nerve_tpu.ops import rdb
+
+        x = jnp.asarray(rng.standard_normal((2, 26, 30, 16)).astype(np.float32)) * 0.1
+        params = self._params(rng)
+        ref = rdb._rdb_xla(x, params)
+        with pltpu.force_tpu_interpret_mode():
+            single = rdb._rdb_pallas(x, params)
+            tiled = rdb._rdb_pallas(x, params, th=12, tw=16)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(np.asarray(single), np.asarray(ref), atol=0.03 * scale)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(single), atol=1e-6)
+
+    def test_gradient_via_custom_vjp(self, rng):
+        from nerve_tpu.ops import rdb
+
+        x = jnp.asarray(rng.standard_normal((1, 12, 12, 16)).astype(np.float32)) * 0.1
+        params = self._params(rng)
+        g = jax.grad(lambda xx: jnp.sum(rdb._rdb_xla(xx, params) ** 2))(x)
+        assert bool(jnp.all(jnp.isfinite(g)))
 
 
 class TestPooling:
