@@ -15,6 +15,7 @@ from nerve_tpu.models.layers import (  # noqa: F401
     TemporalConv3D,
 )
 from nerve_tpu.models.super_resolution import (  # noqa: F401
+    RDBStack,
     FeatureExtractor,
     LightweightSuperResolution,
     MotionEstimator,

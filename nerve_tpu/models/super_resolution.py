@@ -89,8 +89,10 @@ class MotionEstimator(nn.Module):
 class TemporalAggregator(nn.Module):
     """Softmax-over-T attention fusion + CBAM refinement. Parity: :146-209.
 
-    Input: (B, T, H, W, F) aligned features (frame-major channel concat matches
-    the reference's ``stacked.view(B, T*C, H, W)`` ordering at :197).
+    Input: a LIST of T aligned (B, H, W, F) feature maps — kept as 4-D
+    tensors end-to-end (5-D stacks of tiny T dims pick up pathological TPU
+    layouts). The channel concat is frame-major, matching the reference's
+    ``stacked.view(B, T*C, H, W)`` ordering at :197.
     """
 
     num_features: int = 64
@@ -98,15 +100,43 @@ class TemporalAggregator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, aligned: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        b, t, h, w, f = aligned.shape
-        concat = jnp.transpose(aligned, (0, 2, 3, 1, 4)).reshape(b, h, w, t * f)
+    def __call__(self, aligned, train: bool = False) -> jnp.ndarray:
+        if isinstance(aligned, (list, tuple)):
+            frames = list(aligned)
+        else:  # (B, T, H, W, F) convenience path
+            frames = [aligned[:, i] for i in range(aligned.shape[1])]
+        t = len(frames)
+        f = frames[0].shape[-1]
+        concat = jnp.concatenate(frames, axis=-1)
         x = nn.relu(nn.Conv(f, (3, 3), padding=1, dtype=self.dtype, name="attn0")(concat))
         x = nn.relu(nn.Conv(f, (3, 3), padding=1, dtype=self.dtype, name="attn1")(x))
         attn = nn.Conv(t, (3, 3), padding=1, dtype=self.dtype, name="attn2")(x)
         attn = nn.softmax(attn, axis=-1)  # (B, H, W, T)
-        weighted = jnp.einsum("bthwf,bhwt->bhwf", aligned, attn)
+        weighted = frames[0] * attn[..., 0:1]
+        for i in range(1, t):
+            weighted = weighted + frames[i] * attn[..., i : i + 1]
         return CBAM(dtype=self.dtype, name="refine")(weighted)
+
+
+def _declare_rdb_params(mod: nn.Module, prefix: str, features: int,
+                        growth: int, num_layers: int, dtype) -> list:
+    """Declare one residual-dense-block's raw parameters on ``mod``."""
+    params = []
+    cin = features
+    for i in range(num_layers):
+        k = mod.param(
+            f"{prefix}dense{i}_kernel",
+            nn.initializers.he_normal(),
+            (3, 3, cin, growth),
+            jnp.float32,
+        )
+        b = mod.param(f"{prefix}dense{i}_bias", nn.initializers.zeros, (growth,), jnp.float32)
+        params += [k.astype(dtype), b.astype(dtype)]
+        cin += growth
+    lw = mod.param(f"{prefix}lff_kernel", nn.initializers.lecun_normal(), (cin, features), jnp.float32)
+    lb = mod.param(f"{prefix}lff_bias", nn.initializers.zeros, (features,), jnp.float32)
+    params += [lw.astype(dtype), lb.astype(dtype)]
+    return params
 
 
 class ResidualDenseBlock(nn.Module):
@@ -128,28 +158,47 @@ class ResidualDenseBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from nerve_tpu.ops import rdb as rdb_ops
 
-        c = self.num_features
-        params = []
-        cin = c
-        for i in range(self.num_layers):
-            k = self.param(
-                f"dense{i}_kernel",
-                nn.initializers.he_normal(),
-                (3, 3, cin, self.growth_rate),
-                jnp.float32,
-            )
-            b = self.param(f"dense{i}_bias", nn.initializers.zeros, (self.growth_rate,), jnp.float32)
-            params += [k.astype(self.dtype), b.astype(self.dtype)]
-            cin += self.growth_rate
-        lw = self.param("lff_kernel", nn.initializers.lecun_normal(), (cin, c), jnp.float32)
-        lb = self.param("lff_bias", nn.initializers.zeros, (c,), jnp.float32)
-        params += [lw.astype(self.dtype), lb.astype(self.dtype)]
-
+        params = _declare_rdb_params(
+            self, "", self.num_features, self.growth_rate, self.num_layers, self.dtype
+        )
         x = x.astype(self.dtype)
         use_pallas = self.use_pallas
-        if self.num_layers != rdb_ops.NUM_LAYERS:
-            use_pallas = False  # fused kernel is specialised to the 5-layer block
+        if self.num_layers != rdb_ops.NUM_LAYERS or self.growth_rate != rdb_ops.GROWTH:
+            use_pallas = False  # fused kernel is specialised to the 5×32 block
         return rdb_ops.rdb_apply(x, params, use_pallas=use_pallas)
+
+
+class RDBStack(nn.Module):
+    """The SR network's stack of residual dense blocks.
+
+    On TPU the whole stack runs as the fused channel-major Pallas chain
+    (one layout transpose in, one out — per-block transposes would otherwise
+    sit between every pair of blocks); elsewhere it is the XLA formulation.
+    """
+
+    num_features: int = 64
+    num_blocks: int = 8
+    growth_rate: int = 32
+    num_layers: int = 5
+    dtype: Dtype = jnp.float32
+    use_pallas: bool | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from nerve_tpu.ops import rdb as rdb_ops
+
+        params_list = [
+            _declare_rdb_params(
+                self, f"rdb{b}_", self.num_features, self.growth_rate,
+                self.num_layers, self.dtype,
+            )
+            for b in range(self.num_blocks)
+        ]
+        x = x.astype(self.dtype)
+        use_pallas = self.use_pallas
+        if self.num_layers != rdb_ops.NUM_LAYERS or self.growth_rate != rdb_ops.GROWTH:
+            use_pallas = False
+        return rdb_ops.rdb_chain_apply(x, params_list, use_pallas=use_pallas)
 
 
 class SuperResolutionNet(nn.Module):
@@ -184,41 +233,50 @@ class SuperResolutionNet(nn.Module):
         x = lr_frames.astype(self.dtype)
 
         # Feature extraction over all frames in one batch (replaces the
-        # reference's per-frame loop at :346-349).
-        feats = FeatureExtractor(self.num_features, dtype=self.dtype, name="feature_extractor")(
-            x.reshape(b * t, h, w, c), train
-        ).reshape(b, t, h, w, self.num_features)
+        # reference's per-frame loop at :346-349). Features stay flat
+        # (B·T, H, W, F): 5-D slices of tiny T dims pick up pathological
+        # TPU layouts (4× padding), flat row indexing does not.
+        feats_flat = FeatureExtractor(
+            self.num_features, dtype=self.dtype, name="feature_extractor"
+        )(x.reshape(b * t, h, w, c), train)
 
-        center_feat = feats[:, center]
+        center_rows = jnp.arange(b) * t + center
+        center_feat = jnp.take(feats_flat, center_rows, axis=0)
 
         if t > 1:
             # All non-center frames flow-aligned to the center in one batch
             # (replaces the loop at :355-363).
-            neighbors = jnp.concatenate([feats[:, :center], feats[:, center + 1 :]], axis=1)
             n = t - 1
-            nb = neighbors.reshape(b * n, h, w, self.num_features)
-            ctr = jnp.broadcast_to(
-                center_feat[:, None], (b, n, h, w, self.num_features)
-            ).reshape(b * n, h, w, self.num_features)
+            nb_rows = jnp.asarray(
+                [bi * t + j for bi in range(b) for j in range(t) if j != center]
+            )
+            nb = jnp.take(feats_flat, nb_rows, axis=0)
+            ctr = jnp.repeat(center_feat, n, axis=0)
             flow = MotionEstimator(
                 downsample=self.flow_downsample, dtype=self.dtype, name="motion_estimator"
             )(nb, ctr)
-            warped = ops.flow_warp(nb, flow).reshape(b, n, h, w, self.num_features)
-            aligned = jnp.concatenate(
-                [warped[:, :center], center_feat[:, None], warped[:, center:]], axis=1
-            )
+            warped_flat = ops.flow_warp(nb, flow)  # (b·n, h, w, f)
+            aligned = []
+            for j in range(t):
+                if j == center:
+                    aligned.append(center_feat)
+                else:
+                    pos = j if j < center else j - 1
+                    rows = jnp.arange(b) * n + pos
+                    aligned.append(jnp.take(warped_flat, rows, axis=0))
         else:
-            aligned = center_feat[:, None]
+            aligned = [center_feat]
 
         aggregated = TemporalAggregator(
             self.num_features, t, dtype=self.dtype, name="temporal_aggregator"
         )(aligned, train)
 
-        residual = aggregated
-        for i in range(self.num_residual_blocks):
-            residual = ResidualDenseBlock(
-                self.num_features, dtype=self.dtype, name=f"rdb{i}"
-            )(residual)
+        residual = RDBStack(
+            self.num_features,
+            self.num_residual_blocks,
+            dtype=self.dtype,
+            name="rdbs",
+        )(aggregated)
 
         fused = nn.relu(
             nn.Conv(self.num_features, (3, 3), padding=1, dtype=self.dtype, name="gff")(residual)

@@ -46,162 +46,246 @@ from jax.experimental.pallas import tpu as pltpu
 NUM_LAYERS = 5
 GROWTH = 32
 HALO = NUM_LAYERS  # one pixel per sequential 3x3 conv
-KPAD = 256  # 64 input + 5*32 growth = 224, padded to 2 MXU K-tiles
-ONE_CH = KPAD - 1  # constant-ones channel: biases fold into matmul rows
+KPAD = 256  # slot layout below, padded to 2 MXU K-tiles
+# Channel-slot layout inside the scratch (channel-major):
+#   [0:8)    bias slot — channel 0 is constant ones (biases fold into matmul)
+#   [8:72)   the block's 64 input features
+#   [72+32i : 104+32i)  growth features of dense layer i
+# Layer i therefore contracts exactly K_i = 72 + 32·i leading channels — a
+# cheap static major-dim slice — instead of a zero-padded K=256.
+BIAS_SLOT = 8
+FEAT_OFF = BIAS_SLOT
+
+
+def _layer_k(i: int, features: int) -> int:
+    return FEAT_OFF + features + GROWTH * i
 
 
 def _pack_weights(params: Sequence[jnp.ndarray], features: int):
-    """(w1,b1,...,w5,b5,lw,lb) → stacked (5, KPAD, 288) + (5, GROWTH) + lff.
+    """(w1,b1,...,w5,b5,lw,lb) → per-layer (K_i, 288) matrices + lff (K5, C).
 
-    Wcat[i, k, (3·dy+dx)·32 + c] = w_i[dy, dx, k, c]; K zero-padded to KPAD
-    so every layer multiplies the same fixed-width scratch (the padding is
-    exact — the extra channels carry structural zero weights).
+    Wcat[k, (3·dy+dx)·32 + c] = w_i[dy, dx, k-FEAT_OFF, c]; row 0 carries the
+    bias in the CENTER tap block (tap s=4 reads each output exactly once).
     """
-    wcats = []
+    packed = []
     for i in range(NUM_LAYERS):
         w, b = params[2 * i], params[2 * i + 1]
-        k = w.shape[2]
-        wp = jnp.pad(w, ((0, 0), (0, 0), (0, KPAD - k), (0, 0)))
+        k_in = w.shape[2]
+        wp = jnp.pad(
+            w, ((0, 0), (0, 0), (FEAT_OFF, KPAD - FEAT_OFF - k_in), (0, 0))
+        )
         wcat = jnp.transpose(wp, (2, 0, 1, 3)).reshape(KPAD, 9 * GROWTH)
-        # Bias folds into the constant-ones channel's row, in the CENTER tap
-        # block only (tap s=4 reads each output position exactly once).
-        wcat = wcat.at[ONE_CH, 4 * GROWTH : 5 * GROWTH].set(b)
-        wcats.append(wcat)
-    wstack = jnp.stack(wcats).astype(params[0].dtype)
+        wcat = wcat.at[0, 4 * GROWTH : 5 * GROWTH].set(b)
+        packed.append(wcat.astype(params[0].dtype))
     lw, lb = params[10], params[11]
-    lwp = jnp.pad(lw, ((0, KPAD - lw.shape[0]), (0, 0)))
-    lwp = lwp.at[ONE_CH, :].set(lb)
-    return wstack, lwp.astype(lw.dtype)
+    lwp = jnp.pad(lw, ((FEAT_OFF, KPAD - FEAT_OFF - lw.shape[0]), (0, 0)))
+    lwp = lwp.at[0, :].set(lb)
+    packed.append(lwp.astype(lw.dtype))
+    return packed
 
 
 def _rdb_kernel(
-    band0_ref,
-    band1_ref,
-    wstack_ref,
+    b00_ref,
+    b01_ref,
+    b10_ref,
+    b11_ref,
+    w0_ref,
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    w4_ref,
     lw_ref,
     out_ref,
     scratch,
+    y_scratch,
     *,
     th: int,
     tw: int,
     features: int,
 ):
-    """Channel-major fused RDB. Layout: (C, H, W) tiles.
+    """Fused RDB on NHWC tiles.
 
-    scratch (KPAD, ph, pw) holds the zero-padded dense concatenation with a
-    1-pixel zero ring; channel ONE_CH is constant ones so biases arrive via
-    the matmul. Layers run in a fori_loop whose per-layer growth slot is a
-    dynamic-offset store on the MAJOR (channel) dim — cheap, and only one
-    (288, m) tap-product buffer is live at a time.
+    scratch (ph, pw, KPAD) holds the dense concatenation in the slot layout
+    above (channels on lanes), with a 1-pixel zero ring (left/top) and zero
+    alignment columns (right) for SAME-conv semantics; channel 0 is constant
+    ones so biases arrive via the matmul. The ring/ones/padding slots are
+    written once on the first grid step and never touched again. Each layer
+    is one (M, KPAD)·(KPAD, 288) matmul into the explicit y_scratch (single
+    live tap-product buffer; rows beyond the layer's K carry structural zero
+    weights), then nine statically shifted adds restore the 3×3 geometry and
+    the growth block stores at its static channel offset.
     """
     hh, ww = th + 2 * HALO, tw + 2 * HALO
-    ph, pw = hh + 2, ww + 2
+    ph = hh + 2
+    pw = ww + 2 + ((-(ww + 2)) % 8)  # right-pad so the (ph·pw) merge is legal
     m = ph * pw
 
-    scratch[...] = jnp.zeros((KPAD, ph, pw), scratch.dtype)
-    scratch[ONE_CH : ONE_CH + 1, :, :] = jnp.ones((1, ph, pw), scratch.dtype)
-    band = jnp.concatenate([band0_ref[0], band1_ref[0]], axis=1)[:, :hh]
-    scratch[:features, 1 : 1 + hh, 1 : 1 + ww] = band
+    step0 = (
+        (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    )
 
-    def matmul(w):  # (KPAD, N) → (N, ph, pw) with f32 accumulation
-        x = scratch[...].reshape(KPAD, m)
+    @pl.when(step0)
+    def _init():
+        scratch[...] = jnp.zeros((ph, pw, KPAD), scratch.dtype)
+        scratch[:, :, 0:1] = jnp.ones((ph, pw, 1), scratch.dtype)
+
+    top = jnp.concatenate([b00_ref[0], b01_ref[0]], axis=1)
+    bottom = jnp.concatenate([b10_ref[0], b11_ref[0]], axis=1)
+    window = jnp.concatenate([top, bottom], axis=0)[:hh, :ww]
+    scratch[1 : 1 + hh, 1 : 1 + ww, FEAT_OFF : FEAT_OFF + features] = window
+
+    def matmul(w_ref):  # (M, KPAD) · (KPAD, N) → (ph, pw, N)
+        x = scratch[...].reshape(m, KPAD)
         y = lax.dot_general(
-            w, x, (((0,), (0,)), ((), ())),
+            x, w_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return y.reshape(w.shape[1], ph, pw)
+        return y.reshape(ph, pw, w_ref.shape[1])
 
-    def layer(i, _):
-        y = matmul(wstack_ref[i]).astype(scratch.dtype)  # (288, ph, pw)
-        acc = jnp.zeros((GROWTH, hh, ww), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                s = (3 * dy + dx) * GROWTH
-                acc = acc + y[s : s + GROWTH, dy : dy + hh, dx : dx + ww].astype(
-                    jnp.float32
-                )
-        f = jnp.maximum(acc, 0.0)
-        scratch[
-            pl.ds(features + i * GROWTH, GROWTH), 1 : 1 + hh, 1 : 1 + ww
-        ] = f.astype(scratch.dtype)
-        return 0
+    def make_layer(i, w_ref):
+        # Static per-layer closure: static growth-slot offset, one live set of
+        # matmul temps (the switch+fori structure forces stack reuse — a flat
+        # unroll keeps every layer's temps alive simultaneously and blows the
+        # 16 MB VMEM budget).
+        def run(_):
+            y_scratch[...] = matmul(w_ref).astype(y_scratch.dtype)
+            acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    sblk = (3 * dy + dx) * GROWTH
+                    acc = acc + y_scratch[
+                        dy : dy + hh, dx : dx + ww, sblk : sblk + GROWTH
+                    ]
+            f = jnp.maximum(acc, 0.0)
+            ki = _layer_k(i, features)
+            scratch[1 : 1 + hh, 1 : 1 + ww, ki : ki + GROWTH] = f.astype(scratch.dtype)
+            return 0
 
-    jax.lax.fori_loop(0, NUM_LAYERS, layer, 0)
+        return run
 
-    lff = matmul(lw_ref[:])
-    x_in = scratch[:features, 1 : 1 + hh, 1 : 1 + ww].astype(jnp.float32)
-    out = lff[:, 1 : 1 + hh, 1 : 1 + ww] * 0.2 + x_in
-    out_ref[0] = out[:, HALO : HALO + th, HALO : HALO + tw].astype(out_ref.dtype)
+    branches = [
+        make_layer(i, w_ref)
+        for i, w_ref in enumerate((w0_ref, w1_ref, w2_ref, w3_ref, w4_ref))
+    ]
+    jax.lax.fori_loop(
+        0, NUM_LAYERS, lambda i, _: jax.lax.switch(i, branches, 0), 0
+    )
+
+    lff = matmul(lw_ref)
+    x_in = scratch[1 : 1 + hh, 1 : 1 + ww, FEAT_OFF : FEAT_OFF + features].astype(
+        jnp.float32
+    )
+    out = lff[1 : 1 + hh, 1 : 1 + ww, :] * 0.2 + x_in
+    out_ref[0] = out[HALO : HALO + th, HALO : HALO + tw].astype(out_ref.dtype)
 
 
-def _rdb_pallas(
+def _rdb_pallas_nhwc(
     x: jnp.ndarray,
     params: Sequence[jnp.ndarray],
-    th: int = 24,
-    tw: int = 116,
+    th: int = 16,
+    tw: int = 120,
 ) -> jnp.ndarray:
+    """One fused RDB on an NHWC (B, H, W, C) array — no layout changes.
+
+    No strip materialisation and no output reassembly: the (TH+10, TW+10)
+    input halo window is assembled in-kernel from a 2×2 neighbourhood of
+    (TH, TW) BlockSpecs (offsets (hi|hi+1, wi|wi+1)), and each output tile
+    writes straight into its final position. The only HBM overhead is the
+    4× block refetch, which the automatic pipeline streams.
+    """
     b, h, w, c = x.shape
     th = max(th, 2 * HALO)
-    ph = -h % th
-    nh = (h + ph) // th
-    tw = min(tw, w)
-    # pw = tw + 12 must be a multiple of 128 for the (KPAD, ph·pw) row merge.
-    if tw + 12 >= 128:
-        tw -= (tw + 12) % 128
-    else:
-        tw = 128 - 12
-    pw_pad = -w % tw
-    nw = (w + pw_pad) // tw
-    wp = w + pw_pad
+    tw = max(tw - tw % 8, 2 * HALO + (-(2 * HALO) % 8))  # sublane-aligned
+    nh = -(-h // th)
+    nw = -(-w // tw)
 
-    pad_bottom = (nh + 1) * th - (h + HALO)
-    # Channel-major (B, C, H', W') — one transpose in, one out; XLA cancels
-    # adjacent pairs when blocks are chained.
-    xt = jnp.transpose(x, (0, 3, 1, 2))
-    xp = jnp.pad(xt, ((0, 0), (0, 0), (HALO, pad_bottom), (HALO, HALO + pw_pad)))
-
-    if nw > 1:
-        strips = [
-            lax.slice_in_dim(xp, j * tw, j * tw + tw + 2 * HALO, axis=3)
-            for j in range(nw)
-        ]
-        xs = jnp.stack(strips, axis=1).reshape(
-            b * nw, c, xp.shape[2], tw + 2 * HALO
-        )
-        eff_b = b * nw
-    else:
-        xs = xp
-        eff_b = b
+    pad_h = (nh + 1) * th - (h + HALO)
+    pad_w = (nw + 1) * tw - (w + HALO)
+    xp = jnp.pad(x, ((0, 0), (HALO, pad_h), (HALO, pad_w), (0, 0)))
 
     packed = _pack_weights(params, c)
     kernel = functools.partial(_rdb_kernel, th=th, tw=tw, features=c)
-    band_spec = lambda shift: pl.BlockSpec(  # noqa: E731
-        (1, c, th, tw + 2 * HALO),
-        lambda bi, hi, shift=shift: (bi, 0, hi + shift, 0),
+    quad_spec = lambda sh, sw: pl.BlockSpec(  # noqa: E731
+        (1, th, tw, c),
+        lambda bi, hi, wi, sh=sh, sw=sw: (bi, hi + sh, wi + sw, 0),
         memory_space=pltpu.VMEM,
     )
     full_spec = lambda arr: pl.BlockSpec(  # noqa: E731
-        arr.shape, lambda bi, hi: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        arr.shape, lambda bi, hi, wi: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
+
+    hh, ww = th + 2 * HALO, tw + 2 * HALO
+    ph = hh + 2
+    pw = ww + 2 + ((-(ww + 2)) % 8)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((eff_b, c, nh * th, tw), x.dtype),
-        grid=(eff_b, nh),
-        in_specs=[band_spec(0), band_spec(1)] + [full_spec(p) for p in packed],
+        out_shape=jax.ShapeDtypeStruct((b, nh * th, nw * tw, c), x.dtype),
+        grid=(b, nh, nw),
+        in_specs=[quad_spec(0, 0), quad_spec(0, 1), quad_spec(1, 0), quad_spec(1, 1)]
+        + [full_spec(p) for p in packed],
         out_specs=pl.BlockSpec(
-            (1, c, th, tw), lambda bi, hi: (bi, 0, hi, 0), memory_space=pltpu.VMEM
+            (1, th, tw, c),
+            lambda bi, hi, wi: (bi, hi, wi, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((KPAD, th + 2 * HALO + 2, tw + 2 * HALO + 2), x.dtype)
+            pltpu.VMEM((ph, pw, KPAD), x.dtype),
+            pltpu.VMEM((ph, pw, 9 * GROWTH), x.dtype),
         ],
-    )(xs, xs, *packed)
+    )(xp, xp, xp, xp, *packed)
 
-    if nw > 1:
-        out = out.reshape(b, nw, c, nh * th, tw)
-        out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, c, nh * th, wp)
-    out = out[:, :, :h, :w]
-    return jnp.transpose(out, (0, 2, 3, 1))
+    return out[:, :h, :w, :]
+
+
+def _rdb_pallas(
+    x: jnp.ndarray, params: Sequence[jnp.ndarray], th: int = 16, tw: int = 120
+) -> jnp.ndarray:
+    return _rdb_pallas_nhwc(x, params, th=th, tw=tw)
+
+
+def _rdb_chain_pallas(x: jnp.ndarray, params_list) -> jnp.ndarray:
+    """The full RDB stack: fused blocks chained directly in NHWC."""
+    for params in params_list:
+        x = _rdb_pallas_nhwc(x, params)
+    return x
+
+
+def _rdb_chain_xla(x: jnp.ndarray, params_list) -> jnp.ndarray:
+    for params in params_list:
+        x = _rdb_xla(x, params)
+    return x
+
+
+@jax.custom_vjp
+def rdb_chain_fused(x: jnp.ndarray, params_list: Tuple) -> jnp.ndarray:
+    """Fused RDB stack: (B, H, W, C) → (B, H, W, C) through N blocks."""
+    return _rdb_chain_pallas(x, params_list)
+
+
+def _chain_fwd(x, params_list):
+    return rdb_chain_fused(x, params_list), (x, params_list)
+
+
+def _chain_bwd(res, g):
+    x, params_list = res
+    _, vjp = jax.vjp(lambda xx, pp: _rdb_chain_xla(xx, pp), x, params_list)
+    return vjp(g)
+
+
+rdb_chain_fused.defvjp(_chain_fwd, _chain_bwd)
+
+
+def rdb_chain_apply(
+    x: jnp.ndarray, params_list, use_pallas: bool | None = None
+) -> jnp.ndarray:
+    """Dispatch the whole RDB stack: fused TPU chain vs XLA formulation."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    params_list = tuple(tuple(p) for p in params_list)
+    if use_pallas:
+        return rdb_chain_fused(x, params_list)
+    return _rdb_chain_xla(x, params_list)
 
 
 def _rdb_xla(x: jnp.ndarray, params: Sequence[jnp.ndarray]) -> jnp.ndarray:
