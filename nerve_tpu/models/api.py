@@ -299,6 +299,63 @@ class EnhancementEngine:
         self._build()
 
 
+class AdaptiveEnhancementEngine(EnhancementEngine):
+    """Channel-first facade over the adaptive engine.
+
+    Parity: nerve_cl/models/enhancement_engine.py:295-381 — a content-
+    complexity estimator modulates enhancement strength, and the resource
+    budget picks the pipeline mode (thresholds 0.3 / 0.6). Mode selection is
+    a static (re-jit) decision here, made before the forward.
+    """
+
+    def _build(self):
+        self.module = _engine.AdaptiveEnhancementEngine(self.config)
+        cfg = self.config
+        t = 2 * max(cfg.recovery_temporal_window, cfg.sr_temporal_window) + 1
+        example = jnp.zeros((1, t, 32, 32, 3), jnp.float32)
+        fresh = self.module.init(jax.random.PRNGKey(self._seed), example)
+        if hasattr(self, "variables"):
+            fresh = _merge_matching(fresh, self.variables)
+        self.variables = fresh
+        self._adaptive = jax.jit(
+            lambda v, x, rb, uq: self.module.apply(v, x, rb, uq),
+            static_argnums=(),
+        )
+
+    def estimate_complexity(self, frame):
+        """(B, C, H, W) → (B, 1) complexity in [0, 1]."""
+        x = _to_nhwc(frame)
+        return self.module.apply(
+            self.variables, x, method=_engine.AdaptiveEnhancementEngine.estimate_complexity
+        )
+
+    def adaptive_forward(
+        self,
+        frames,
+        resource_budget: float = 1.0,
+        user_quality_preference: float = 0.5,
+    ):
+        """Budget-aware enhancement (parity: adaptive_forward, :330-381)."""
+        mode = _engine.select_mode_for_budget(resource_budget)
+        if self.config.with_mode(mode) != self.config:
+            self.config = self.config.with_mode(mode)
+            self._build()
+        out = self._adaptive(
+            self.variables, _to_nhwc(frames),
+            jnp.float32(resource_budget), jnp.float32(user_quality_preference),
+        )
+        result = {
+            k: (_to_nchw(v) if hasattr(v, "ndim") and v.ndim >= 3 else v)
+            for k, v in out.items()
+        }
+        return result
+
+    def __call__(
+        self, frames, resource_budget: float = 1.0, user_quality_preference: float = 0.5
+    ):
+        return self.adaptive_forward(frames, resource_budget, user_quality_preference)
+
+
 def _merge_matching(fresh: dict, old: dict):
     """Graft old leaves onto a fresh pytree wherever path+shape match."""
 

@@ -61,17 +61,24 @@ class DepthwiseSeparableConv(nn.Module):
 class PixelShuffleUpsampler(nn.Module):
     """3×3 conv to C·s² channels followed by depth-to-space.
 
-    Parity: efficient_layers.py:70-106.
+    Parity: efficient_layers.py:70-106. ``zero_init`` zero-initialises the
+    conv — standard residual-learning practice when the upsampler feeds a
+    "+ bicubic base" skip: the model starts exactly at the interpolation
+    baseline and training strictly improves on it (random init instead makes
+    the net spend its early epochs un-learning a noise residual).
     """
 
     scale_factor: int = 2
     out_channels: int = 3
+    zero_init: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = self.out_channels * self.scale_factor**2
-        x = nn.Conv(hidden, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
+        x = nn.Conv(hidden, (3, 3), padding=1, kernel_init=init,
+                    dtype=self.dtype, name="conv")(x)
         return ops.pixel_shuffle(x, self.scale_factor)
 
 

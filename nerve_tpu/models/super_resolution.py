@@ -80,7 +80,10 @@ class MotionEstimator(nn.Module):
         x = nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=self.dtype, name="flow0")(corr))
         x = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=self.dtype, name="flow1")(x))
         x = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="flow2")(x))
-        flow = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, name="flow3")(x)
+        # Zero-initialised flow head: warping starts as the identity, so
+        # early training is not destabilised by random-flow gathers.
+        flow = nn.Conv(2, (3, 3), padding=1, kernel_init=nn.initializers.zeros_init(),
+                       dtype=self.dtype, name="flow3")(x)
         if ds > 1:
             flow = ops.resize_bilinear(flow, (h, w)) * float(ds)
         return flow
@@ -284,7 +287,8 @@ class SuperResolutionNet(nn.Module):
         fused = fused + center_feat
 
         hr_residual = PixelShuffleUpsampler(
-            self.scale_factor, self.in_channels, dtype=self.dtype, name="upsampler"
+            self.scale_factor, self.in_channels, zero_init=True,
+            dtype=self.dtype, name="upsampler",
         )(fused)
 
         bicubic = ops.upsample_bicubic(lr_frames[:, center], self.scale_factor)
@@ -307,7 +311,9 @@ class LightweightSuperResolution(nn.Module):
         y = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="head")(inp))
         for i in range(4):
             y = DepthwiseSeparableConv(32, dtype=self.dtype, name=f"body{i}")(y, train)
-        y = nn.Conv(3 * self.scale_factor**2, (3, 3), padding=1, dtype=self.dtype, name="tail")(y)
+        y = nn.Conv(3 * self.scale_factor**2, (3, 3), padding=1,
+                    kernel_init=nn.initializers.zeros_init(),
+                    dtype=self.dtype, name="tail")(y)
         residual = ops.pixel_shuffle(y, self.scale_factor)
         base = ops.upsample_bicubic(x, self.scale_factor)
         return jnp.clip(base.astype(jnp.float32) + residual.astype(jnp.float32), 0.0, 1.0)

@@ -71,14 +71,14 @@ def _pack_weights(params: Sequence[jnp.ndarray], features: int):
     for i in range(NUM_LAYERS):
         w, b = params[2 * i], params[2 * i + 1]
         k_in = w.shape[2]
-        wp = jnp.pad(
-            w, ((0, 0), (0, 0), (FEAT_OFF, KPAD - FEAT_OFF - k_in), (0, 0))
-        )
-        wcat = jnp.transpose(wp, (2, 0, 1, 3)).reshape(KPAD, 9 * GROWTH)
+        ki = _layer_k(i, features)
+        wp = jnp.pad(w, ((0, 0), (0, 0), (FEAT_OFF, ki - FEAT_OFF - k_in), (0, 0)))
+        wcat = jnp.transpose(wp, (2, 0, 1, 3)).reshape(ki, 9 * GROWTH)
         wcat = wcat.at[0, 4 * GROWTH : 5 * GROWTH].set(b)
         packed.append(wcat.astype(params[0].dtype))
     lw, lb = params[10], params[11]
-    lwp = jnp.pad(lw, ((FEAT_OFF, KPAD - FEAT_OFF - lw.shape[0]), (0, 0)))
+    kl = _layer_k(NUM_LAYERS, features)
+    lwp = jnp.pad(lw, ((FEAT_OFF, kl - FEAT_OFF - lw.shape[0]), (0, 0)))
     lwp = lwp.at[0, :].set(lb)
     packed.append(lwp.astype(lw.dtype))
     return packed
@@ -134,8 +134,11 @@ def _rdb_kernel(
     window = jnp.concatenate([top, bottom], axis=0)[:hh, :ww]
     scratch[1 : 1 + hh, 1 : 1 + ww, FEAT_OFF : FEAT_OFF + features] = window
 
-    def matmul(w_ref):  # (M, KPAD) · (KPAD, N) → (ph, pw, N)
-        x = scratch[...].reshape(m, KPAD)
+    def matmul(w_ref):  # (M, K) · (K, N) → (ph, pw, N); K = the layer's exact
+        # contraction width (a lane slice from 0 — the slots beyond it belong
+        # to not-yet-written layers and carry zero weights anyway).
+        k = w_ref.shape[0]
+        x = scratch[:, :, :k].reshape(m, k)
         y = lax.dot_general(
             x, w_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -281,7 +284,7 @@ def rdb_chain_apply(
 ) -> jnp.ndarray:
     """Dispatch the whole RDB stack: fused TPU chain vs XLA formulation."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = _auto_pallas(x)
     params_list = tuple(tuple(p) for p in params_list)
     if use_pallas:
         return rdb_chain_fused(x, params_list)
@@ -295,10 +298,11 @@ def _rdb_xla(x: jnp.ndarray, params: Sequence[jnp.ndarray]) -> jnp.ndarray:
     for wk, bk in ((w1, b1), (w2, b2), (w3, b3), (w4, b4), (w5, b5)):
         inp = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
         dn = lax.conv_dimension_numbers(inp.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
+        # No preferred_element_type: XLA convs accumulate f32 internally, and
+        # a widened output dtype breaks the conv transpose rule under vjp.
         f = lax.conv_general_dilated(
-            inp, wk, (1, 1), "SAME", dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        ) + bk.astype(jnp.float32)
+            inp, wk, (1, 1), "SAME", dimension_numbers=dn
+        ).astype(jnp.float32) + bk.astype(jnp.float32)
         feats.append(jnp.maximum(f, 0.0).astype(x.dtype))
     full = jnp.concatenate(feats, axis=-1)
     lff = jnp.einsum(
@@ -330,12 +334,18 @@ def _rdb_bwd(res, g):
 rdb_fused.defvjp(_rdb_fwd, _rdb_bwd)
 
 
+def _auto_pallas(x: jnp.ndarray) -> bool:
+    # The fused kernel's VMEM budget is tuned for bf16 serving; f32 tiles are
+    # 2x larger, so f32 (training/CPU) uses the XLA formulation.
+    return jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16
+
+
 def rdb_apply(
     x: jnp.ndarray, params: Sequence[jnp.ndarray], use_pallas: bool | None = None
 ) -> jnp.ndarray:
     """Dispatch between the fused TPU kernel and the XLA formulation."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = _auto_pallas(x)
     if use_pallas:
         return rdb_fused(x, tuple(params))
     return _rdb_xla(x, tuple(params))

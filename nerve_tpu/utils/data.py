@@ -24,16 +24,22 @@ CONTENT_TYPES = ("sports", "animation", "movie", "news", "gaming")
 
 
 def smooth_random_images(
-    key: jax.Array, n: int, size: int, channels: int = 3, octaves: int = 3
+    key: jax.Array, n: int, size: int, channels: int = 3, octaves: int = 4
 ) -> jnp.ndarray:
-    """Band-limited random images in [0, 1]: sum of upsampled noise octaves."""
+    """Multi-octave random images in [0, 1].
+
+    Octaves span coarse structure down to half-resolution texture — detail
+    above the LR Nyquist rate (so plain interpolation cannot recover it) but
+    band-limited (so a learned prior can): a real SR task, unlike the
+    reference's unstructured random tensors.
+    """
     imgs = jnp.zeros((n, size, size, channels), jnp.float32)
     for o in range(octaves):
         key, sub = jax.random.split(key)
-        res = max(2, size // (2 ** (octaves - o + 1)))
+        res = max(2, size >> (octaves - o))
         noise = jax.random.normal(sub, (n, res, res, channels), jnp.float32)
         up = jax.image.resize(noise, (n, size, size, channels), "cubic")
-        imgs = imgs + up * (0.5**o)
+        imgs = imgs + up * (0.55**o)
     lo = jnp.min(imgs, axis=(1, 2, 3), keepdims=True)
     hi = jnp.max(imgs, axis=(1, 2, 3), keepdims=True)
     return (imgs - lo) / jnp.maximum(hi - lo, 1e-6)
@@ -53,10 +59,23 @@ def make_sr_dataset(
     reference's non-IID per-client/per-task offsets
     (experiments/train_federated.py:18-24, train_continual.py:15-23).
     """
-    hr = smooth_random_images(key, num_samples, lr_size * scale, channels)
+    k_base, k_edge = jax.random.split(key)
+    base = smooth_random_images(k_base, num_samples, lr_size * scale, channels)
+    # Sharp-edge component: a sigmoid-thresholded smooth field. Edges carry
+    # energy above the LR Nyquist rate but are STRUCTURED — the regime where
+    # learned SR beats interpolation (bicubic blurs/rings on edges), unlike
+    # unstructured noise octaves which nothing can recover.
+    edge_field = smooth_random_images(k_edge, num_samples, lr_size * scale, channels)
+    edges = jax.nn.sigmoid((edge_field - 0.5) * 24.0)
+    hr = jnp.clip(0.55 * base + 0.45 * edges, 0.0, 1.0)
     if content_offset:
         hr = jnp.clip(hr * (1.0 - abs(content_offset) * 0.3) + content_offset * 0.2, 0, 1)
-    lr = ops.resize_bicubic(hr, (lr_size, lr_size))
+    # LR by box decimation (area averaging — what camera/codec downscaling
+    # does), NOT bicubic: otherwise bicubic upsampling nearly inverts the
+    # degradation and the SR task is trivial.
+    lr = hr.reshape(num_samples, lr_size, scale, lr_size, scale, channels).mean(
+        axis=(2, 4)
+    )
     lr = jnp.clip(lr, 0.0, 1.0)
     return {"lr": np.asarray(lr), "hr": np.asarray(hr)}
 

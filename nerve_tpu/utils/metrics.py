@@ -81,8 +81,10 @@ def ssim(
     mu_pp = mu_p * mu_p
     mu_tt = mu_t * mu_t
     mu_pt = mu_p * mu_t
-    sigma_pp = gblur(p * p) - mu_pp
-    sigma_tt = gblur(t * t) - mu_tt
+    # Clamp variances at 0: for near-constant patches the blur(x²)−mu²
+    # cancellation can go slightly negative in f32, which pushes SSIM > 1.
+    sigma_pp = jnp.maximum(gblur(p * p) - mu_pp, 0.0)
+    sigma_tt = jnp.maximum(gblur(t * t) - mu_tt, 0.0)
     sigma_pt = gblur(p * t) - mu_pt
 
     num = (2 * mu_pt + c1) * (2 * sigma_pt + c2)

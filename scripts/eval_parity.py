@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Quality-parity evaluation against the reference's README protocol.
+
+The reference's headline quality numbers (README.md:355-370) are PSNR/SSIM/
+MAE/MSE of SuperResolutionNet on synthetic 64→128 2× SR plus the bicubic
+baseline (+4.66 dB over 20.90 dB bicubic). This script reproduces that
+protocol on NERVE-TPU: train the baseline config (feats=32, blocks=4, tw=1 —
+train_baseline.py:51-56) on synthetic data, evaluate on a held-out set, and
+report the same metric table including the bicubic baseline delta.
+
+Run: python scripts/eval_parity.py [--epochs 50]
+Outputs one JSON line with the metric table.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from nerve_tpu import ops, training
+from nerve_tpu.config.schema import TrainingConfig
+from nerve_tpu.models import SuperResolutionNet
+from nerve_tpu.utils import data as data_lib
+from nerve_tpu.utils.metrics import mae, mse, psnr, ssim
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--train-samples", type=int, default=500)
+    p.add_argument("--eval-samples", type=int, default=100)
+    p.add_argument("--lr-size", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    key = jax.random.PRNGKey(args.seed)
+    k_train, k_eval = jax.random.split(key)
+    train = data_lib.make_sr_dataset(k_train, args.train_samples, args.lr_size, 2)
+    test = data_lib.make_sr_dataset(k_eval, args.eval_samples, args.lr_size, 2)
+
+    model = SuperResolutionNet(
+        scale_factor=2, num_features=32, num_residual_blocks=4, temporal_window=1
+    )
+    cfg = TrainingConfig(
+        epochs=args.epochs, batch_size=args.batch_size, learning_rate=args.lr,
+        warmup_epochs=min(5, args.epochs // 10), scheduler="cosine",
+    )
+    state, _ = training.fit_sr(model, train, train, cfg, num_frames=3, seed=args.seed)
+
+    lr_t = jnp.asarray(test["lr"])
+    hr_t = jnp.asarray(test["hr"])
+    lr_win = data_lib.expand_temporal(lr_t, 3)
+
+    @jax.jit
+    def forward(params, stats, x):
+        return model.apply({"params": params, "batch_stats": stats}, x)
+
+    pred = forward(state.params, state.batch_stats, lr_win)
+    bicubic = jnp.clip(ops.upsample_bicubic(lr_t, 2), 0, 1)
+
+    results = {
+        "psnr": float(psnr(pred, hr_t)),
+        "ssim": float(ssim(pred, hr_t)),
+        "mae": float(mae(pred, hr_t)),
+        "mse": float(mse(pred, hr_t)),
+        "bicubic_psnr": float(psnr(bicubic, hr_t)),
+        "bicubic_ssim": float(ssim(bicubic, hr_t)),
+    }
+    results["psnr_gain_over_bicubic"] = results["psnr"] - results["bicubic_psnr"]
+    print(json.dumps({k: round(v, 4) for k, v in results.items()}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,11 @@ per-content-type continual tasks under data/.
 """
 
 import argparse
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 import os
 
 import jax

@@ -81,6 +81,21 @@ class TestEnhancementEngineAPI:
         assert "frame_recovery" in info["parameters"]
         assert "super_resolution" in info["parameters"]
 
+    def test_adaptive_engine_facade(self, rng):
+        cfg = api.EnhancementConfig(
+            recovery_base_channels=16, sr_num_features=8, sr_num_residual_blocks=1
+        )
+        eng = api.AdaptiveEnhancementEngine(cfg)
+        frames = rng.random((1, 5, 3, 32, 32)).astype(np.float32)
+        out = eng.adaptive_forward(frames, 0.7, 0.8)
+        assert {"enhanced", "complexity", "enhancement_strength"} <= set(out)
+        s = float(out["enhancement_strength"])
+        assert 0.3 <= s <= 1.0
+        # Budget < 0.3 → lightweight mode (static re-jit) still produces SR.
+        out2 = eng.adaptive_forward(frames, 0.2, 0.5)
+        assert out2["enhanced"].shape == (1, 3, 64, 64)
+        assert eng.estimate_complexity(frames[:, 2]).shape == (1, 1)
+
     def test_mode_switch_reuses_params(self, engine, rng):
         before = np.asarray(
             engine.variables["params"]["super_resolution"]["gff"]["kernel"]
