@@ -159,17 +159,32 @@ class SpatialAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        avg = jnp.mean(x, axis=-1, keepdims=True)
-        mx = jnp.max(x, axis=-1, keepdims=True)
-        y = jnp.concatenate([avg, mx], axis=-1)
-        y = nn.Conv(
-            1,
-            (self.kernel_size, self.kernel_size),
-            padding=self.kernel_size // 2,
-            use_bias=False,
-            dtype=self.dtype,
-        )(y)
-        return x * nn.sigmoid(y)
+        # Plane-based formulation: (B, H, W, 1..2)-channel tensors pick up
+        # 128-lane-padded TPU layouts (measured ~40× memory blow-up and tens
+        # of ms per op at 1080p), so the channel pools and the 7×7/2→1 conv
+        # are computed on (B, H, W) planes via statically shifted adds —
+        # identical math and identical (k, k, 2, 1) parameter.
+        avg = jnp.mean(x, axis=-1)  # (B, H, W)
+        mx = jnp.max(x, axis=-1)
+        kernel = self.param(
+            "conv_kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, 2, 1),
+            jnp.float32,
+        ).astype(self.dtype)
+        r = self.kernel_size // 2
+        pads = ((0, 0), (r, r), (r, r))
+        avg_p = jnp.pad(avg.astype(self.dtype), pads)
+        mx_p = jnp.pad(mx.astype(self.dtype), pads)
+        h, w = x.shape[1], x.shape[2]
+        y = jnp.zeros_like(avg, dtype=jnp.float32)
+        for dy in range(self.kernel_size):
+            for dx in range(self.kernel_size):
+                y = y + (
+                    avg_p[:, dy : dy + h, dx : dx + w] * kernel[dy, dx, 0, 0]
+                    + mx_p[:, dy : dy + h, dx : dx + w] * kernel[dy, dx, 1, 0]
+                ).astype(jnp.float32)
+        return x * nn.sigmoid(y.astype(self.dtype))[..., None]
 
 
 class CBAM(nn.Module):

@@ -113,11 +113,22 @@ class TemporalAggregator(nn.Module):
         concat = jnp.concatenate(frames, axis=-1)
         x = nn.relu(nn.Conv(f, (3, 3), padding=1, dtype=self.dtype, name="attn0")(concat))
         x = nn.relu(nn.Conv(f, (3, 3), padding=1, dtype=self.dtype, name="attn1")(x))
-        attn = nn.Conv(t, (3, 3), padding=1, dtype=self.dtype, name="attn2")(x)
-        attn = nn.softmax(attn, axis=-1)  # (B, H, W, T)
-        weighted = frames[0] * attn[..., 0:1]
+        logits = nn.Conv(t, (3, 3), padding=1, dtype=self.dtype, name="attn2")(x)
+        # Softmax over T computed on (B, H, W) planes: lane-dim reductions of
+        # a T=3-channel tensor run against a 128-lane-padded layout (measured
+        # ~100 ms at 1080p); elementwise plane math is ~free.
+        planes = [logits[..., i].astype(jnp.float32) for i in range(t)]
+        m = planes[0]
+        for pl_ in planes[1:]:
+            m = jnp.maximum(m, pl_)
+        exps = [jnp.exp(pl_ - m) for pl_ in planes]
+        denom = exps[0]
+        for e in exps[1:]:
+            denom = denom + e
+        inv = (1.0 / denom).astype(self.dtype)
+        weighted = frames[0] * (exps[0].astype(self.dtype) * inv)[..., None]
         for i in range(1, t):
-            weighted = weighted + frames[i] * attn[..., i : i + 1]
+            weighted = weighted + frames[i] * (exps[i].astype(self.dtype) * inv)[..., None]
         return CBAM(dtype=self.dtype, name="refine")(weighted)
 
 
