@@ -244,12 +244,17 @@ class EnhancementEngine:
         return {k: _to_nchw(v) for k, v in out.items()}
 
     def enhance_video(
-        self, video: Array, corruption_masks: Optional[Array] = None
+        self, video: Array, corruption_masks: Optional[Array] = None,
+        batch_size: int = 4,
     ) -> jnp.ndarray:
         """(T, C, H, W) or (B, T, C, H, W) [+ masks (T, 1, H, W)] → enhanced video.
 
         Parity: enhancement_engine.py:186-248 (including the 4-D squeeze path).
+        ``batch_size`` is accepted for API compatibility; the scan-based
+        pipeline compiles once and streams every frame, so host-side frame
+        batching is unnecessary here.
         """
+        del batch_size
         v = jnp.asarray(video)
         squeeze = v.ndim == 4
         if squeeze:

@@ -237,7 +237,12 @@ class SuperResolutionNet(nn.Module):
         return 2 * self.temporal_window + 1
 
     @nn.compact
-    def __call__(self, lr_frames: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        lr_frames: jnp.ndarray,
+        train: bool = False,
+        return_intermediate: bool = False,
+    ):
         b, t, h, w, c = lr_frames.shape
         if t != self.num_frames:
             raise ValueError(
@@ -304,7 +309,15 @@ class SuperResolutionNet(nn.Module):
 
         bicubic = ops.upsample_bicubic(lr_frames[:, center], self.scale_factor)
         out = bicubic.astype(jnp.float32) + hr_residual.astype(jnp.float32)
-        return jnp.clip(out, 0.0, 1.0)
+        out = jnp.clip(out, 0.0, 1.0)
+        if return_intermediate:
+            # Parity with the reference's debug outputs (:384-389).
+            return out, {
+                "features": feats_flat.reshape(b, t, h, w, self.num_features),
+                "aligned": jnp.stack(aligned, axis=1),
+                "aggregated": aggregated,
+            }
+        return out
 
 
 class LightweightSuperResolution(nn.Module):
