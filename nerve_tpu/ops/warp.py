@@ -54,7 +54,7 @@ def flow_warp(
         def one(args):
             fl, r0 = args
             # Shift dy so chunk-local row indices sample the full image.
-            fl = fl.at[..., 1].add(r0)
+            fl = fl.at[..., 1].add(r0.astype(fl.dtype))
             return _warp_rows(features, fl)
 
         out = lax.map(one, (jnp.moveaxis(flow_chunks, 1, 0), row0))
