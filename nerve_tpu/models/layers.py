@@ -71,6 +71,7 @@ class PixelShuffleUpsampler(nn.Module):
     scale_factor: int = 2
     out_channels: int = 3
     zero_init: bool = False
+    shuffle: bool = True  # False → return pre-shuffle (B,H,W,C·s²) phase channels
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -79,6 +80,8 @@ class PixelShuffleUpsampler(nn.Module):
         init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
         x = nn.Conv(hidden, (3, 3), padding=1, kernel_init=init,
                     dtype=self.dtype, name="conv")(x)
+        if not self.shuffle:
+            return x
         return ops.pixel_shuffle(x, self.scale_factor)
 
 

@@ -302,14 +302,22 @@ class SuperResolutionNet(nn.Module):
         )
         fused = fused + center_feat
 
-        hr_residual = PixelShuffleUpsampler(
-            self.scale_factor, self.in_channels, zero_init=True,
+        # Epilogue in pre-shuffle phase-channel space: the bicubic base is
+        # computed as s² phase channels (static shifted adds, no gathers) and
+        # added to the upsampler conv's raw output, so the whole residual
+        # epilogue performs exactly ONE depth-to-space interleave.
+        hr_residual_ch = PixelShuffleUpsampler(
+            self.scale_factor, self.in_channels, zero_init=True, shuffle=False,
             dtype=self.dtype, name="upsampler",
         )(fused)
-
-        bicubic = ops.upsample_bicubic(lr_frames[:, center], self.scale_factor)
-        out = bicubic.astype(jnp.float32) + hr_residual.astype(jnp.float32)
-        out = jnp.clip(out, 0.0, 1.0)
+        bicubic_ch = ops.upsample_bicubic_channels(
+            lr_frames[:, center], self.scale_factor
+        )
+        out_ch = jnp.clip(
+            bicubic_ch.astype(jnp.float32) + hr_residual_ch.astype(jnp.float32),
+            0.0, 1.0,
+        )
+        out = ops.pixel_shuffle(out_ch, self.scale_factor)
         if return_intermediate:
             # Parity with the reference's debug outputs (:384-389).
             return out, {
@@ -338,9 +346,9 @@ class LightweightSuperResolution(nn.Module):
         y = nn.Conv(3 * self.scale_factor**2, (3, 3), padding=1,
                     kernel_init=nn.initializers.zeros_init(),
                     dtype=self.dtype, name="tail")(y)
-        residual = ops.pixel_shuffle(y, self.scale_factor)
-        base = ops.upsample_bicubic(x, self.scale_factor)
-        return jnp.clip(base.astype(jnp.float32) + residual.astype(jnp.float32), 0.0, 1.0)
+        base_ch = ops.upsample_bicubic_channels(x, self.scale_factor)
+        out_ch = jnp.clip(base_ch.astype(jnp.float32) + y.astype(jnp.float32), 0.0, 1.0)
+        return ops.pixel_shuffle(out_ch, self.scale_factor)
 
 
 def estimate_sr_flops(

@@ -12,6 +12,8 @@ from nerve_tpu.ops.resize import (  # noqa: F401
     resize_bicubic,
     resize_bilinear,
     upsample_bicubic,
+    upsample_bicubic_channels,
+    upsample_bilinear_channels,
 )
 from nerve_tpu.ops.warp import flow_warp  # noqa: F401
 from nerve_tpu.ops.correlation import correlation_volume  # noqa: F401

@@ -109,11 +109,14 @@ def _rdb_kernel(
     above (channels on lanes), with a 1-pixel zero ring (left/top) and zero
     alignment columns (right) for SAME-conv semantics; channel 0 is constant
     ones so biases arrive via the matmul. The ring/ones/padding slots are
-    written once on the first grid step and never touched again. Each layer
-    is one (M, KPAD)·(KPAD, 288) matmul into the explicit y_scratch (single
-    live tap-product buffer; rows beyond the layer's K carry structural zero
-    weights), then nine statically shifted adds restore the 3×3 geometry and
-    the growth block stores at its static channel offset.
+    written once on the first grid step and never touched again.
+
+    Each dense layer is one (M, K)·(K, 288) matmul computing all nine 3×3
+    taps' contributions at once (full 128-lane MXU occupancy), then nine
+    statically shifted adds restore the geometry. All slices are STATIC —
+    dynamic (pl.ds) row banding was measured 2-3× slower (Mosaic inserts
+    operand copies for dynamically-addressed matmul inputs); large tiles are
+    afforded by raising the scoped-VMEM ceiling instead.
     """
     hh, ww = th + 2 * HALO, tw + 2 * HALO
     ph = hh + 2
@@ -129,10 +132,14 @@ def _rdb_kernel(
         scratch[...] = jnp.zeros((ph, pw, KPAD), scratch.dtype)
         scratch[:, :, 0:1] = jnp.ones((ph, pw, 1), scratch.dtype)
 
-    top = jnp.concatenate([b00_ref[0], b01_ref[0]], axis=1)
-    bottom = jnp.concatenate([b10_ref[0], b11_ref[0]], axis=1)
-    window = jnp.concatenate([top, bottom], axis=0)[:hh, :ww]
-    scratch[1 : 1 + hh, 1 : 1 + ww, FEAT_OFF : FEAT_OFF + features] = window
+    # Assemble the (hh, ww) halo window from the 2×2 block neighbourhood by
+    # writing each quadrant straight into scratch — concatenating first would
+    # materialise a (2th, 2tw) stack temporary (several MB at serving tiles).
+    f0, f1 = FEAT_OFF, FEAT_OFF + features
+    scratch[1 : 1 + th, 1 : 1 + tw, f0:f1] = b00_ref[0]
+    scratch[1 : 1 + th, 1 + tw : 1 + ww, f0:f1] = b01_ref[0, :, : ww - tw]
+    scratch[1 + th : 1 + hh, 1 : 1 + tw, f0:f1] = b10_ref[0, : hh - th]
+    scratch[1 + th : 1 + hh, 1 + tw : 1 + ww, f0:f1] = b11_ref[0, : hh - th, : ww - tw]
 
     def matmul(w_ref):  # (M, K) · (K, N) → (ph, pw, N); K = the layer's exact
         # contraction width (a lane slice from 0 — the slots beyond it belong
@@ -149,7 +156,7 @@ def _rdb_kernel(
         # Static per-layer closure: static growth-slot offset, one live set of
         # matmul temps (the switch+fori structure forces stack reuse — a flat
         # unroll keeps every layer's temps alive simultaneously and blows the
-        # 16 MB VMEM budget).
+        # VMEM budget).
         def run(_):
             y_scratch[...] = matmul(w_ref).astype(y_scratch.dtype)
             acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
@@ -158,7 +165,7 @@ def _rdb_kernel(
                     sblk = (3 * dy + dx) * GROWTH
                     acc = acc + y_scratch[
                         dy : dy + hh, dx : dx + ww, sblk : sblk + GROWTH
-                    ]
+                    ].astype(jnp.float32)
             f = jnp.maximum(acc, 0.0)
             ki = _layer_k(i, features)
             scratch[1 : 1 + hh, 1 : 1 + ww, ki : ki + GROWTH] = f.astype(scratch.dtype)
@@ -185,7 +192,7 @@ def _rdb_kernel(
 def _rdb_pallas_nhwc(
     x: jnp.ndarray,
     params: Sequence[jnp.ndarray],
-    th: int = 16,
+    th: int = 32,
     tw: int = 120,
 ) -> jnp.ndarray:
     """One fused RDB on an NHWC (B, H, W, C) array — no layout changes.
@@ -236,6 +243,12 @@ def _rdb_pallas_nhwc(
             pltpu.VMEM((ph, pw, KPAD), x.dtype),
             pltpu.VMEM((ph, pw, 9 * GROWTH), x.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # Raise the scoped-VMEM ceiling above XLA's conservative 16 MB
+            # default (v5e has more physical VMEM): serving tiles are sized
+            # so scratch + double-buffered quad blocks land ~18-24 MB.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(xp, xp, xp, xp, *packed)
 
     return out[:, :h, :w, :]

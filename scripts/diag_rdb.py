@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Cost attribution inside the fused RDB kernel.
+
+Runs structurally-identical kernel variants that disable pieces of the work:
+  full      — the real kernel
+  noshift   — matmuls only; conv geometry replaced by the centre tap
+              (wrong math, same MXU work) → isolates the shifted-add cost
+  nolff     — full dense chain, skip the final 1x1 fusion matmul
+  matonly   — matmuls with NO y_scratch store (result reduced to one lane)
+
+Not part of the package — a measurement harness for docs/perf_notes.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerve_tpu.ops.rdb import (
+    FEAT_OFF, GROWTH, HALO, KPAD, NUM_LAYERS, _layer_k, _pack_weights,
+)
+from nerve_tpu.utils.profiling import measure_dispatch_overhead, timed_scan
+
+
+def make_kernel(th, tw, features, mode):
+    def kernel(b00_ref, b01_ref, b10_ref, b11_ref,
+               w0_ref, w1_ref, w2_ref, w3_ref, w4_ref, lw_ref,
+               out_ref, scratch, y_scratch):
+        hh, ww = th + 2 * HALO, tw + 2 * HALO
+        ph = hh + 2
+        pw = ww + 2 + ((-(ww + 2)) % 8)
+        m = ph * pw
+
+        step0 = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                 & (pl.program_id(2) == 0))
+
+        @pl.when(step0)
+        def _init():
+            scratch[...] = jnp.zeros((ph, pw, KPAD), scratch.dtype)
+            scratch[:, :, 0:1] = jnp.ones((ph, pw, 1), scratch.dtype)
+
+        f0, f1 = FEAT_OFF, FEAT_OFF + features
+        scratch[1:1 + th, 1:1 + tw, f0:f1] = b00_ref[0]
+        scratch[1:1 + th, 1 + tw:1 + ww, f0:f1] = b01_ref[0, :, :ww - tw]
+        scratch[1 + th:1 + hh, 1:1 + tw, f0:f1] = b10_ref[0, :hh - th]
+        scratch[1 + th:1 + hh, 1 + tw:1 + ww, f0:f1] = b11_ref[0, :hh - th, :ww - tw]
+
+        def matmul(w_ref):
+            k = w_ref.shape[0]
+            x = scratch[:, :, :k].reshape(m, k)
+            y = lax.dot_general(x, w_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            return y.reshape(ph, pw, w_ref.shape[1])
+
+        def make_layer(i, w_ref):
+            def run(_):
+                if mode == "matonly":
+                    y = matmul(w_ref)
+                    # keep a data dependence, minimal stores
+                    scratch[1:2, 1:2, _layer_k(i, features):_layer_k(i, features) + GROWTH] = (
+                        y[:1, :1, :GROWTH].astype(scratch.dtype))
+                    return 0
+                y_scratch[...] = matmul(w_ref).astype(y_scratch.dtype)
+                if mode == "noshift":
+                    f = jnp.maximum(
+                        y_scratch[1:1 + hh, 1:1 + ww, 4 * GROWTH:5 * GROWTH]
+                        .astype(jnp.float32), 0.0)
+                else:
+                    acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
+                    for dy in range(3):
+                        for dx in range(3):
+                            sblk = (3 * dy + dx) * GROWTH
+                            acc = acc + y_scratch[
+                                dy:dy + hh, dx:dx + ww, sblk:sblk + GROWTH
+                            ].astype(jnp.float32)
+                    f = jnp.maximum(acc, 0.0)
+                ki = _layer_k(i, features)
+                scratch[1:1 + hh, 1:1 + ww, ki:ki + GROWTH] = f.astype(scratch.dtype)
+                return 0
+            return run
+
+        branches = [make_layer(i, w)
+                    for i, w in enumerate((w0_ref, w1_ref, w2_ref, w3_ref, w4_ref))]
+        jax.lax.fori_loop(0, NUM_LAYERS, lambda i, _: jax.lax.switch(i, branches, 0), 0)
+
+        if mode == "nolff":
+            out_ref[0] = scratch[
+                1 + HALO:1 + HALO + th, 1 + HALO:1 + HALO + tw, f0:f1
+            ].astype(out_ref.dtype)
+            return
+        lff = matmul(lw_ref)
+        x_in = scratch[1:1 + hh, 1:1 + ww, f0:f1].astype(jnp.float32)
+        out = lff[1:1 + hh, 1:1 + ww, :] * 0.2 + x_in
+        out_ref[0] = out[HALO:HALO + th, HALO:HALO + tw].astype(out_ref.dtype)
+
+    return kernel
+
+
+def run_variant(x, params, th, tw, mode, over):
+    b, h, w, c = x.shape
+    nh = -(-h // th)
+    nw = -(-w // tw)
+    pad_h = (nh + 1) * th - (h + HALO)
+    pad_w = (nw + 1) * tw - (w + HALO)
+    packed = _pack_weights(params, c)
+    hh, ww = th + 2 * HALO, tw + 2 * HALO
+    ph = hh + 2
+    pw = ww + 2 + ((-(ww + 2)) % 8)
+    kernel = make_kernel(th, tw, c, mode)
+
+    quad = lambda sh, sw: pl.BlockSpec(  # noqa: E731
+        (1, th, tw, c), lambda bi, hi, wi, sh=sh, sw=sw: (bi, hi + sh, wi + sw, 0),
+        memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda bi, hi, wi: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    def call(xx, pk):
+        xp = jnp.pad(xx, ((0, 0), (HALO, pad_h), (HALO, pad_w), (0, 0)))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, nh * th, nw * tw, c), xx.dtype),
+            grid=(b, nh, nw),
+            in_specs=[quad(0, 0), quad(0, 1), quad(1, 0), quad(1, 1)]
+            + [full(p) for p in pk],
+            out_specs=pl.BlockSpec((1, th, tw, c),
+                                   lambda bi, hi, wi: (bi, hi, wi, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((ph, pw, KPAD), xx.dtype),
+                            pltpu.VMEM((ph, pw, 9 * GROWTH), xx.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(xp, xp, xp, xp, *pk)[:, :h, :w, :]
+
+    r = timed_scan(call, x, packed, iters=6, dispatch_overhead_ms=over)
+    print(f"{mode:8s} th={th} tw={tw}  {r['ms_per_call']:7.2f} ms")
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    c = 64
+    x = jax.random.normal(key, (1, 1080, 1920, c), jnp.bfloat16)
+    params = []
+    k = c
+    for i in range(5):
+        params.append(jax.random.normal(key, (3, 3, k, 32), jnp.bfloat16) * 0.05)
+        params.append(jnp.zeros((32,), jnp.bfloat16))
+        k += 32
+    params.append(jax.random.normal(key, (k, c), jnp.bfloat16) * 0.05)
+    params.append(jnp.zeros((c,), jnp.bfloat16))
+    params = tuple(params)
+    over = measure_dispatch_overhead()
+    print(f"dispatch ~{over:.1f} ms")
+    for mode in ("full", "noshift", "matonly", "nolff"):
+        run_variant(x, params, 32, 120, mode, over)
+
+
+if __name__ == "__main__":
+    main()
