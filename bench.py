@@ -8,11 +8,18 @@ config uses coarse-level flow (flow_downsample=2, the LiteFlowNet-pyramid
 style optimisation); the reference-exact full-res flow path is covered by
 parity tests instead.
 
+The measured path is the STREAMING video pipeline
+(nerve_tpu.models.streaming): one scan step per video frame, with the
+sliding window's shared feature maps carried between steps — each frame is
+feature-extracted once, not 2w+1 times. This is how the framework actually
+serves video (enhance_video_streaming), and the carry is a genuine
+frame-to-frame data dependence, so nothing can be elided.
+
 Timing methodology: the per-dispatch tunnel/host round-trip on this setup is
 ~30 ms, so a naive dispatch-per-frame loop would measure the tunnel, not the
-chip. We scan N frames inside ONE jitted program (data-dependent chaining so
-nothing is elided) and report N / wall-time — dispatch overhead is amortised
-into the figure, making it slightly conservative.
+chip. We scan N frames inside ONE jitted program and report N / wall-time —
+dispatch overhead is amortised into the figure, making it slightly
+conservative.
 
 Prints ONE JSON line:
   {"metric": "sr_1080p_2x_fps", "value": N, "unit": "frames/sec/chip",
@@ -34,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from nerve_tpu.models import SuperResolutionNet
+from nerve_tpu.models.streaming import streaming_prime, streaming_step
 
 
 def main() -> None:
@@ -55,20 +63,26 @@ def main() -> None:
 
     @jax.jit
     def run_n(v, x):
-        """Chain n_frames forwards with a data dependence; returns a scalar."""
+        """Stream n_frames through the serving pipeline; returns a scalar.
 
-        def body(carry, _):
-            xc, acc = carry
-            out = model.apply(v, xc)
+        The streaming carry (cached neighbour features) chains every step to
+        the previous one. Each step derives its "new frame" from the last
+        output's corner statistic — a real data dependence at negligible
+        cost, so the scan cannot be collapsed.
+        """
+        carry0 = streaming_prime(model, v, x[:, 0])
+
+        def body(state, _):
+            carry, frame, acc = state
+            carry, out = streaming_step(model, v, carry, frame)
             s = jnp.mean(out[0, :64, :64, 0], dtype=jnp.float32)
-            # One-pixel in-place carry update (XLA aliases the while-loop
-            # buffer): keeps the cross-iteration data dependence without a
-            # full-tensor add each frame.
-            bump = xc[:1, :1, :1, :1, :1] + (s * 1e-12).astype(xc.dtype)
-            xc = jax.lax.dynamic_update_slice(xc, bump, (0, 0, 0, 0, 0))
-            return (xc, acc + s), None
+            bump = frame[:1, :1, :1, :1] + (s * 1e-12).astype(frame.dtype)
+            frame = jax.lax.dynamic_update_slice(frame, bump, (0, 0, 0, 0))
+            return (carry, frame, acc + s), None
 
-        (_, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), None, length=n_frames)
+        (_, _, acc), _ = jax.lax.scan(
+            body, (carry0, x[:, 1], jnp.float32(0)), None, length=n_frames
+        )
         return acc
 
     # Warmup / compile (forces full execution via the scalar fetch).

@@ -23,6 +23,11 @@ from nerve_tpu.models.super_resolution import (  # noqa: F401
     SuperResolutionNet,
     TemporalAggregator,
 )
+from nerve_tpu.models.streaming import (  # noqa: F401
+    enhance_video_streaming,
+    streaming_prime,
+    streaming_step,
+)
 from nerve_tpu.models.frame_recovery import (  # noqa: F401
     Decoder,
     FrameRecoveryNet,

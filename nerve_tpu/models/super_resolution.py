@@ -236,7 +236,87 @@ class SuperResolutionNet(nn.Module):
     def num_frames(self) -> int:
         return 2 * self.temporal_window + 1
 
-    @nn.compact
+    def setup(self):
+        self.feature_extractor = FeatureExtractor(self.num_features, dtype=self.dtype)
+        self.motion_estimator = MotionEstimator(
+            downsample=self.flow_downsample, dtype=self.dtype
+        )
+        self.temporal_aggregator = TemporalAggregator(
+            self.num_features, self.num_frames, dtype=self.dtype
+        )
+        self.rdbs = RDBStack(
+            self.num_features, self.num_residual_blocks, dtype=self.dtype
+        )
+        self.gff = nn.Conv(self.num_features, (3, 3), padding=1, dtype=self.dtype)
+        self.upsampler = PixelShuffleUpsampler(
+            self.scale_factor, self.in_channels, zero_init=True, shuffle=False,
+            dtype=self.dtype,
+        )
+
+    def extract_features(self, frames: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """(N, H, W, C) frames → (N, H, W, F) features (one batched dispatch)."""
+        return self.feature_extractor(frames.astype(self.dtype), train)
+
+    def align_to_center(self, nb: jnp.ndarray, ctr: jnp.ndarray) -> jnp.ndarray:
+        """Flow-estimate + warp neighbour features onto center features."""
+        flow = self.motion_estimator(nb, ctr)
+        return ops.flow_warp(nb, flow)
+
+    def fuse_from_features(
+        self,
+        aligned,
+        center_feat: jnp.ndarray,
+        center_lr: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """Aligned feature list + center LR frame → SR frame (B, sH, sW, C).
+
+        The shared tail of the batched and streaming paths: attention
+        aggregation → RDB stack → global fusion + center skip → pre-shuffle
+        residual + phase-channel bicubic base → one depth-to-space.
+        """
+        aggregated = self.temporal_aggregator(aligned, train)
+        residual = self.rdbs(aggregated)
+        fused = nn.relu(self.gff(residual))
+        fused = fused + center_feat
+
+        # Epilogue in pre-shuffle phase-channel space: the bicubic base is
+        # computed as s² phase channels (static shifted adds, no gathers) and
+        # added to the upsampler conv's raw output, so the whole residual
+        # epilogue performs exactly ONE depth-to-space interleave.
+        hr_residual_ch = self.upsampler(fused)
+        bicubic_ch = ops.upsample_bicubic_channels(
+            center_lr.astype(self.dtype), self.scale_factor
+        )
+        out_ch = jnp.clip(
+            bicubic_ch.astype(jnp.float32) + hr_residual_ch.astype(jnp.float32),
+            0.0, 1.0,
+        )
+        return ops.pixel_shuffle(out_ch, self.scale_factor)
+
+    def streaming_step(self, prev_feats, center_feat, next_feat,
+                       center_lr: jnp.ndarray) -> jnp.ndarray:
+        """One streaming-video step: cached neighbour features, new next frame.
+
+        ``prev_feats``: list of the already-extracted features of frames
+        t-w..t-1; ``next_feat``: features of frames t+1..t+w stacked flat
+        (list). Only the NEW frame's features need extracting per step —
+        a 3× saving on FeatureExtractor for the default window (see
+        nerve_tpu.models.streaming).
+        """
+        nbs = list(prev_feats) + list(next_feat)
+        nb = jnp.concatenate(nbs, axis=0)
+        ctr = jnp.concatenate([center_feat] * len(nbs), axis=0)
+        warped = self.align_to_center(nb, ctr)
+        b = center_feat.shape[0]
+        aligned = (
+            [warped[i * b : (i + 1) * b] for i in range(len(prev_feats))]
+            + [center_feat]
+            + [warped[(len(prev_feats) + i) * b : (len(prev_feats) + i + 1) * b]
+               for i in range(len(next_feat))]
+        )
+        return self.fuse_from_features(aligned, center_feat, center_lr)
+
     def __call__(
         self,
         lr_frames: jnp.ndarray,
@@ -255,9 +335,7 @@ class SuperResolutionNet(nn.Module):
         # reference's per-frame loop at :346-349). Features stay flat
         # (B·T, H, W, F): 5-D slices of tiny T dims pick up pathological
         # TPU layouts (4× padding), flat row indexing does not.
-        feats_flat = FeatureExtractor(
-            self.num_features, dtype=self.dtype, name="feature_extractor"
-        )(x.reshape(b * t, h, w, c), train)
+        feats_flat = self.extract_features(x.reshape(b * t, h, w, c), train)
 
         center_rows = jnp.arange(b) * t + center
         center_feat = jnp.take(feats_flat, center_rows, axis=0)
@@ -271,10 +349,7 @@ class SuperResolutionNet(nn.Module):
             )
             nb = jnp.take(feats_flat, nb_rows, axis=0)
             ctr = jnp.repeat(center_feat, n, axis=0)
-            flow = MotionEstimator(
-                downsample=self.flow_downsample, dtype=self.dtype, name="motion_estimator"
-            )(nb, ctr)
-            warped_flat = ops.flow_warp(nb, flow)  # (b·n, h, w, f)
+            warped_flat = self.align_to_center(nb, ctr)  # (b·n, h, w, f)
             aligned = []
             for j in range(t):
                 if j == center:
@@ -286,44 +361,13 @@ class SuperResolutionNet(nn.Module):
         else:
             aligned = [center_feat]
 
-        aggregated = TemporalAggregator(
-            self.num_features, t, dtype=self.dtype, name="temporal_aggregator"
-        )(aligned, train)
-
-        residual = RDBStack(
-            self.num_features,
-            self.num_residual_blocks,
-            dtype=self.dtype,
-            name="rdbs",
-        )(aggregated)
-
-        fused = nn.relu(
-            nn.Conv(self.num_features, (3, 3), padding=1, dtype=self.dtype, name="gff")(residual)
-        )
-        fused = fused + center_feat
-
-        # Epilogue in pre-shuffle phase-channel space: the bicubic base is
-        # computed as s² phase channels (static shifted adds, no gathers) and
-        # added to the upsampler conv's raw output, so the whole residual
-        # epilogue performs exactly ONE depth-to-space interleave.
-        hr_residual_ch = PixelShuffleUpsampler(
-            self.scale_factor, self.in_channels, zero_init=True, shuffle=False,
-            dtype=self.dtype, name="upsampler",
-        )(fused)
-        bicubic_ch = ops.upsample_bicubic_channels(
-            lr_frames[:, center], self.scale_factor
-        )
-        out_ch = jnp.clip(
-            bicubic_ch.astype(jnp.float32) + hr_residual_ch.astype(jnp.float32),
-            0.0, 1.0,
-        )
-        out = ops.pixel_shuffle(out_ch, self.scale_factor)
+        out = self.fuse_from_features(aligned, center_feat, lr_frames[:, center], train)
         if return_intermediate:
             # Parity with the reference's debug outputs (:384-389).
             return out, {
                 "features": feats_flat.reshape(b, t, h, w, self.num_features),
                 "aligned": jnp.stack(aligned, axis=1),
-                "aggregated": aggregated,
+                "aggregated": self.temporal_aggregator(aligned, train),
             }
         return out
 

@@ -1,0 +1,275 @@
+"""Fused sequential conv chains — one VMEM-resident pass for conv stacks.
+
+Motivation (profiled on v5e at 1080p, bf16): XLA runs every 3×3 conv with a
+small output-channel count at a fraction of MXU peak — 64-out convs at
+~13 TF/s, and a 3-out conv (the aggregator's attention logits,
+nerve_cl/models/super_resolution.py:168-175) at ~30 ms because the
+(H, W, 3) result takes a 128-lane-padded layout. Chains of such convs also
+round-trip HBM between every layer.
+
+This kernel runs an arbitrary chain of 3×3/1×1 convs (+ReLU) over spatial
+tiles held in VMEM, with the same formulation as the fused RDB kernel
+(nerve_tpu.ops.rdb):
+
+  * channels on lanes, a constant-ones channel so biases fold into the
+    matmuls;
+  * each 3×3 conv = three per-dy (M, K)·(K, 3·Cout) matmuls whose dx-shifted
+    tap blocks are accumulated in f32 on the VPU;
+  * tiny output-channel counts are zero-padded to ≥64 matmul lanes INSIDE
+    the kernel (the padding never touches HBM), so a 3-channel logits layer
+    runs at 64-lane rates;
+  * ping-pong channel regions inside one scratch buffer, full-extent
+    compute with final center crop (halo = number of 3×3 layers).
+
+Gradients: `conv_chain_fused` carries a custom VJP that differentiates the
+mathematically-identical XLA formulation, so the fused forward is
+drop-in for serving while training works everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIAS_SLOT = 8  # channel 0 carries ones; features start here
+MIN_NOUT = 64  # pad tiny conv outputs up to this many matmul lanes
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _chain_halo(specs) -> int:
+    return sum(1 for (kh, _kw, _cin, _cout, _act) in specs if kh == 3)
+
+
+def _layer_specs(ws, acts):
+    """weights + acts → [(kh, kw, cin, cout, act)] with validation."""
+    specs = []
+    for w, act in zip(ws, acts):
+        kh, kw, cin, cout = w.shape
+        if (kh, kw) not in ((3, 3), (1, 1)):
+            raise ValueError(f"conv_chain supports 3x3/1x1 kernels, got {kh}x{kw}")
+        if act not in ("relu", "none"):
+            raise ValueError(f"unknown activation {act!r}")
+        specs.append((kh, kw, cin, cout, act))
+    for a, b in zip(specs, specs[1:]):
+        if a[3] != b[2]:
+            raise ValueError("conv_chain layer channel mismatch")
+    return specs
+
+
+def _pack_chain_weights(ws, bs):
+    """Per layer: (K_i, taps·Npad) matrix, bias folded into row 0 (ones ch).
+
+    K_i = BIAS_SLOT + cin; taps = 9 (3×3, row-major tap order (dy, dx)) or
+    1 (1×1). Npad = cout padded to ≥MIN_NOUT lanes.
+    """
+    packed = []
+    for w, b in zip(ws, bs):
+        kh, kw, cin, cout = w.shape
+        npad = max(_ceil_to(cout, MIN_NOUT), MIN_NOUT)
+        ki = BIAS_SLOT + cin
+        wp = jnp.pad(w, ((0, 0), (0, 0), (BIAS_SLOT, 0), (0, npad - cout)))
+        wcat = jnp.transpose(wp, (2, 0, 1, 3)).reshape(ki, kh * kw * npad)
+        center = (kh * kw) // 2
+        wcat = wcat.at[0, center * npad : center * npad + cout].set(b)
+        packed.append(wcat.astype(w.dtype))
+    return packed
+
+
+def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int):
+    """refs = 4 quad blocks, L weight refs, out_ref, scratch_a, scratch_b."""
+    nl = len(specs)
+    b00_ref, b01_ref, b10_ref, b11_ref = refs[:4]
+    w_refs = refs[4 : 4 + nl]
+    out_ref = refs[4 + nl]
+    scr_a, scr_b = refs[4 + nl + 1 :]
+    hh, ww = th + 2 * halo, tw + 2 * halo
+    ph = hh + 2
+    pw = ww + 2 + ((-(ww + 2)) % 8)
+    m = ph * pw
+    cin0 = specs[0][2]
+
+    step0 = (
+        (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    )
+
+    @pl.when(step0)
+    def _init():
+        scr_a[...] = jnp.zeros(scr_a.shape, scr_a.dtype)
+        scr_a[:, :, 0:1] = jnp.ones((ph, pw, 1), scr_a.dtype)
+        scr_b[...] = jnp.zeros(scr_b.shape, scr_b.dtype)
+        scr_b[:, :, 0:1] = jnp.ones((ph, pw, 1), scr_b.dtype)
+
+    f0, f1 = BIAS_SLOT, BIAS_SLOT + cin0
+    scr_a[1 : 1 + th, 1 : 1 + tw, f0:f1] = b00_ref[0]
+    scr_a[1 : 1 + th, 1 + tw : 1 + ww, f0:f1] = b01_ref[0, :, : ww - tw]
+    scr_a[1 + th : 1 + hh, 1 : 1 + tw, f0:f1] = b10_ref[0, : hh - th]
+    scr_a[1 + th : 1 + hh, 1 + tw : 1 + ww, f0:f1] = b11_ref[0, : hh - th, : ww - tw]
+
+    def matmul(src, k, w_ref, n0, n1):
+        x = src[:, :, :k].reshape(m, k)
+        y = lax.dot_general(
+            x, w_ref[:, n0:n1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y.reshape(ph, pw, n1 - n0)
+
+    src = scr_a
+    for li, ((kh, _kw, cin, cout, act), w_ref) in enumerate(zip(specs, w_refs)):
+        npad = max(_ceil_to(cout, MIN_NOUT), MIN_NOUT)
+        k = BIAS_SLOT + cin
+        if kh == 3:
+            acc = jnp.zeros((hh, ww, npad), jnp.float32)
+            for dy in range(3):
+                y = matmul(src, k, w_ref, 3 * dy * npad, (3 * dy + 3) * npad)
+                y = y.astype(src.dtype)
+                for dx in range(3):
+                    acc = acc + y[
+                        dy : dy + hh, dx : dx + ww, dx * npad : (dx + 1) * npad
+                    ].astype(jnp.float32)
+        else:
+            acc = matmul(src, k, w_ref, 0, npad)[1 : 1 + hh, 1 : 1 + ww]
+        if act == "relu":
+            acc = jnp.maximum(acc, 0.0)
+        if li == nl - 1:
+            out_ref[0] = acc[
+                halo : halo + th, halo : halo + tw, :out_cout
+            ].astype(out_ref.dtype)
+        else:
+            dst = scr_b if src is scr_a else scr_a
+            dst[1 : 1 + hh, 1 : 1 + ww, BIAS_SLOT : BIAS_SLOT + cout] = acc[
+                :, :, :cout
+            ].astype(dst.dtype)
+            src = dst
+
+
+def _chain_pallas(
+    x: jnp.ndarray,
+    ws,
+    bs,
+    acts,
+    th: int = 32,
+    tw: int = 120,
+) -> jnp.ndarray:
+    specs = _layer_specs(ws, acts)
+    b, h, w, c = x.shape
+    halo = max(_chain_halo(specs), 1)
+    th = max(th, 2 * halo)
+    tw = max(tw - tw % 8, _ceil_to(2 * halo, 8))
+    nh = -(-h // th)
+    nw = -(-w // tw)
+    pad_h = (nh + 1) * th - (h + halo)
+    pad_w = (nw + 1) * tw - (w + halo)
+    xp = jnp.pad(x, ((0, 0), (halo, pad_h), (halo, pad_w), (0, 0)))
+
+    packed = _pack_chain_weights(
+        [w.astype(x.dtype) for w in ws], [bb.astype(x.dtype) for bb in bs]
+    )
+    out_cout = specs[-1][3]
+
+    # Ping-pong channel capacities: A holds the input and every even layer's
+    # output, B every odd layer's output.
+    ca = max([specs[0][2]] + [s[3] for i, s in enumerate(specs[:-1]) if i % 2 == 1])
+    cb = max([s[3] for i, s in enumerate(specs[:-1]) if i % 2 == 0] or [8])
+    ca = _ceil_to(BIAS_SLOT + ca, 128)
+    cb = _ceil_to(BIAS_SLOT + cb, 128)
+
+    hh, ww = th + 2 * halo, tw + 2 * halo
+    ph = hh + 2
+    pw = ww + 2 + ((-(ww + 2)) % 8)
+
+    kernel = functools.partial(
+        _chain_kernel, th=th, tw=tw, specs=specs, out_cout=out_cout, halo=halo
+    )
+    quad = lambda sh, sw: pl.BlockSpec(  # noqa: E731
+        (1, th, tw, c),
+        lambda bi, hi, wi, sh=sh, sw=sw: (bi, hi + sh, wi + sw, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda bi, hi, wi: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nh * th, nw * tw, out_cout), x.dtype),
+        grid=(b, nh, nw),
+        in_specs=[quad(0, 0), quad(0, 1), quad(1, 0), quad(1, 1)]
+        + [full(p) for p in packed],
+        out_specs=pl.BlockSpec(
+            (1, th, tw, out_cout),
+            lambda bi, hi, wi: (bi, hi, wi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ph, pw, ca), x.dtype),
+            pltpu.VMEM((ph, pw, cb), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(xp, xp, xp, xp, *packed)
+
+    return out[:, :h, :w, :]
+
+
+def _chain_xla(x: jnp.ndarray, ws, bs, acts) -> jnp.ndarray:
+    """Reference XLA formulation — identical math, autodiff-friendly."""
+    for w, bias, act in zip(ws, bs, acts):
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1), "SAME", dimension_numbers=dn
+        ).astype(jnp.float32) + bias.astype(jnp.float32)
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        x = y.astype(x.dtype)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def conv_chain_fused(acts, x, ws, bs) -> jnp.ndarray:
+    """Fused conv chain: (B, H, W, Cin) → (B, H, W, Cout_last)."""
+    return _chain_pallas(x, ws, bs, acts)
+
+
+def _cc_fwd(acts, x, ws, bs):
+    return conv_chain_fused(acts, x, ws, bs), (x, ws, bs)
+
+
+def _cc_bwd(acts, res, g):
+    x, ws, bs = res
+    _, vjp = jax.vjp(lambda xx, ww, bb: _chain_xla(xx, ww, bb, acts), x, ws, bs)
+    return vjp(g)
+
+
+conv_chain_fused.defvjp(_cc_fwd, _cc_bwd)
+
+
+def _auto_pallas(x: jnp.ndarray) -> bool:
+    return jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16
+
+
+def conv_chain_apply(
+    x: jnp.ndarray, params, use_pallas: bool | None = None
+) -> jnp.ndarray:
+    """Run a conv(+ReLU) chain; fused on TPU bf16, XLA elsewhere.
+
+    ``params``: sequence of (kernel (kh,kw,cin,cout), bias (cout,), act)
+    with act ∈ {'relu', 'none'}.
+    """
+    if use_pallas is None:
+        use_pallas = _auto_pallas(x)
+    ws = tuple(w for w, _b, _a in params)
+    bs = tuple(b for _w, b, _a in params)
+    acts = tuple(a for _w, _b, a in params)
+    if use_pallas:
+        return conv_chain_fused(acts, x, ws, bs)
+    return _chain_xla(x, ws, bs, acts)

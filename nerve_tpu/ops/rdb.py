@@ -14,12 +14,13 @@ formulation chosen for the MXU:
   * A persistent scratch tile holds the dense concatenation zero-padded to a
     fixed 256 channels (64 input + 5·32 growth + padding), with a 1-pixel
     zero ring for SAME-conv semantics.
-  * Each dense layer is ONE matmul ``Y = X · W`` with K=256 (zero-padded
-    weights — structural zeros make the padding exact) and N=288 = 9·32: all
-    nine 3×3 taps' contributions computed at once with full 128-lane MXU
-    occupancy, instead of nine N=32 matmuls at 25 % occupancy.
-  * The conv result is then assembled by 9 *statically shifted adds* of the
-    (…, 32) tap blocks — cheap VPU work entirely in VMEM.
+  * Each dense layer is three per-dy matmuls ``Y = X · W`` (K = the layer's
+    exact dense-concat width, N = 96 = 3·32: that row's three 3×3 taps
+    computed together at full MXU lane occupancy), instead of nine N=32
+    matmuls at 25 % occupancy.
+  * Each chunk's conv contribution is assembled by 3 *statically shifted
+    adds* of its (…, 32) tap blocks into an f32 accumulator — VPU work
+    entirely in VMEM, interleaved between the chunk matmuls.
   * The 1×1 local-feature fusion reuses the same X·(256→64) matmul shape.
 
 Tiles carry a 5-pixel halo (five sequential 3×3 convs). The W-halo is
@@ -97,7 +98,6 @@ def _rdb_kernel(
     lw_ref,
     out_ref,
     scratch,
-    y_scratch,
     *,
     th: int,
     tw: int,
@@ -111,9 +111,9 @@ def _rdb_kernel(
     ones so biases arrive via the matmul. The ring/ones/padding slots are
     written once on the first grid step and never touched again.
 
-    Each dense layer is one (M, K)·(K, 288) matmul computing all nine 3×3
-    taps' contributions at once (full 128-lane MXU occupancy), then nine
-    statically shifted adds restore the geometry. All slices are STATIC —
+    Each dense layer is three (M, K)·(K, 96) per-dy-row matmuls, each
+    followed by three statically dx-shifted adds restoring the conv
+    geometry (see make_layer). All slices are STATIC —
     dynamic (pl.ds) row banding was measured 2-3× slower (Mosaic inserts
     operand copies for dynamically-addressed matmul inputs); large tiles are
     afforded by raising the scoped-VMEM ceiling instead.
@@ -141,30 +141,41 @@ def _rdb_kernel(
     scratch[1 + th : 1 + hh, 1 : 1 + tw, f0:f1] = b10_ref[0, : hh - th]
     scratch[1 + th : 1 + hh, 1 + tw : 1 + ww, f0:f1] = b11_ref[0, : hh - th, : ww - tw]
 
-    def matmul(w_ref):  # (M, K) · (K, N) → (ph, pw, N); K = the layer's exact
-        # contraction width (a lane slice from 0 — the slots beyond it belong
-        # to not-yet-written layers and carry zero weights anyway).
+    def matmul(w_ref, n0=None, n1=None):  # (M, K) · (K, n1-n0) → (ph, pw, ·)
+        # K = the layer's exact contraction width (a lane slice from 0 — the
+        # slots beyond it belong to not-yet-written layers and carry zero
+        # weights anyway).
         k = w_ref.shape[0]
         x = scratch[:, :, :k].reshape(m, k)
+        wcols = w_ref[:] if n0 is None else w_ref[:, n0:n1]
         y = lax.dot_general(
-            x, w_ref[:], (((1,), (0,)), ((), ())),
+            x, wcols, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return y.reshape(ph, pw, w_ref.shape[1])
+        return y.reshape(ph, pw, wcols.shape[1])
 
     def make_layer(i, w_ref):
         # Static per-layer closure: static growth-slot offset, one live set of
         # matmul temps (the switch+fori structure forces stack reuse — a flat
         # unroll keeps every layer's temps alive simultaneously and blows the
         # VMEM budget).
+        #
+        # The conv is computed in three per-dy N=96 chunks: matmul → bf16
+        # cast → three dx-shifted adds into the f32 accumulator. Measured
+        # against the monolithic N=288 matmul + y_scratch materialisation,
+        # the chunked form is ~8 % faster (the bf16 cast halves the
+        # intermediate's store/load bytes, and dropping the shared y_scratch
+        # frees ~4 MB of VMEM); f32-value chunks and per-tap N=32 chunks are
+        # 3-4× SLOWER (spill traffic / MXU starvation — see
+        # scripts/diag_rdb.py).
         def run(_):
-            y_scratch[...] = matmul(w_ref).astype(y_scratch.dtype)
             acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
             for dy in range(3):
+                y = matmul(w_ref, 3 * dy * GROWTH, (3 * dy + 3) * GROWTH)
+                y = y.astype(scratch.dtype)
                 for dx in range(3):
-                    sblk = (3 * dy + dx) * GROWTH
-                    acc = acc + y_scratch[
-                        dy : dy + hh, dx : dx + ww, sblk : sblk + GROWTH
+                    acc = acc + y[
+                        dy : dy + hh, dx : dx + ww, dx * GROWTH : (dx + 1) * GROWTH
                     ].astype(jnp.float32)
             f = jnp.maximum(acc, 0.0)
             ki = _layer_k(i, features)
@@ -241,7 +252,6 @@ def _rdb_pallas_nhwc(
         ),
         scratch_shapes=[
             pltpu.VMEM((ph, pw, KPAD), x.dtype),
-            pltpu.VMEM((ph, pw, 9 * GROWTH), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             # Raise the scoped-VMEM ceiling above XLA's conservative 16 MB

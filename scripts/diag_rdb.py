@@ -57,7 +57,40 @@ def make_kernel(th, tw, features, mode):
                                 preferred_element_type=jnp.float32)
             return y.reshape(ph, pw, w_ref.shape[1])
 
+        def matmul_cols(w_ref, n0, n1):
+            k = w_ref.shape[0]
+            x = scratch[:, :, :k].reshape(m, k)
+            y = lax.dot_general(x, w_ref[:, n0:n1], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            return y.reshape(ph, pw, n1 - n0)
+
         def make_layer(i, w_ref):
+            if mode in ("chunk_dy", "chunk_dy_bf16", "chunk_tap"):
+                def run(_):
+                    acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
+                    if mode == "chunk_tap":
+                        for dy in range(3):
+                            for dx in range(3):
+                                t = 3 * dy + dx
+                                y = matmul_cols(w_ref, t * GROWTH, (t + 1) * GROWTH)
+                                acc = acc + y[dy:dy + hh, dx:dx + ww, :]
+                    else:
+                        for dy in range(3):
+                            y = matmul_cols(w_ref, 3 * dy * GROWTH,
+                                            (3 * dy + 3) * GROWTH)
+                            if mode == "chunk_dy_bf16":
+                                y = y.astype(jnp.bfloat16)
+                            for dx in range(3):
+                                acc = acc + y[
+                                    dy:dy + hh, dx:dx + ww,
+                                    dx * GROWTH:(dx + 1) * GROWTH
+                                ].astype(jnp.float32)
+                    f = jnp.maximum(acc, 0.0)
+                    ki = _layer_k(i, features)
+                    scratch[1:1 + hh, 1:1 + ww, ki:ki + GROWTH] = f.astype(scratch.dtype)
+                    return 0
+                return run
+
             def run(_):
                 if mode == "matonly":
                     y = matmul(w_ref)
@@ -136,8 +169,15 @@ def run_variant(x, params, th, tw, mode, over):
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(xp, xp, xp, xp, *pk)[:, :h, :w, :]
 
+    if mode in ("full", "chunk_dy", "chunk_dy_bf16", "chunk_tap"):
+        from nerve_tpu.ops.rdb import _rdb_xla
+        ref = jax.jit(_rdb_xla)(x, params)
+        got = jax.jit(call)(x, packed)
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
+    else:
+        err = float("nan")
     r = timed_scan(call, x, packed, iters=6, dispatch_overhead_ms=over)
-    print(f"{mode:8s} th={th} tw={tw}  {r['ms_per_call']:7.2f} ms")
+    print(f"{mode:14s} th={th} tw={tw}  {r['ms_per_call']:7.2f} ms  maxerr={err:.2e}")
 
 
 def main():
@@ -155,7 +195,11 @@ def main():
     params = tuple(params)
     over = measure_dispatch_overhead()
     print(f"dispatch ~{over:.1f} ms")
-    for mode in ("full", "noshift", "matonly", "nolff"):
+    modes = ("full", "chunk_dy", "chunk_dy_bf16", "chunk_tap")
+    import sys
+    if len(sys.argv) > 1:
+        modes = tuple(sys.argv[1].split(","))
+    for mode in modes:
         run_variant(x, params, 32, 120, mode, over)
 
 
