@@ -25,6 +25,32 @@ from nerve_tpu import ops
 Dtype = Any
 
 
+class ConvParams(nn.Module):
+    """Declares an ``nn.Conv``-compatible (kernel, bias) pair and returns it.
+
+    Lets modules route convs through the fused conv-chain kernel
+    (:mod:`nerve_tpu.ops.conv_chain`) while keeping the exact parameter tree
+    an ``nn.Conv`` of the same name would produce — checkpoints and init
+    remain interchangeable with the plain-XLA formulation.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    in_features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        k = self.param(
+            "kernel",
+            self.kernel_init,
+            (*self.kernel_size, self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
 class DepthwiseSeparableConv(nn.Module):
     """Depthwise 3×3 + pointwise 1×1 + BN + ReLU.
 
@@ -78,8 +104,8 @@ class PixelShuffleUpsampler(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = self.out_channels * self.scale_factor**2
         init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
-        x = nn.Conv(hidden, (3, 3), padding=1, kernel_init=init,
-                    dtype=self.dtype, name="conv")(x)
+        k, b = ConvParams(hidden, (3, 3), x.shape[-1], kernel_init=init, name="conv")()
+        x = ops.conv_chain_apply(x.astype(self.dtype), [(k, b, "none")])
         if not self.shuffle:
             return x
         return ops.pixel_shuffle(x, self.scale_factor)

@@ -29,7 +29,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from nerve_tpu import ops
-from nerve_tpu.models.layers import CBAM, DepthwiseSeparableConv, PixelShuffleUpsampler
+from nerve_tpu.models.layers import (
+    CBAM,
+    ConvParams,
+    DepthwiseSeparableConv,
+    PixelShuffleUpsampler,
+)
 
 Dtype = Any
 
@@ -42,8 +47,8 @@ class FeatureExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        feat = nn.Conv(self.num_features, (3, 3), padding=1, dtype=self.dtype, name="head")(x)
-        feat = nn.relu(feat)
+        kh, bh = ConvParams(self.num_features, (3, 3), x.shape[-1], name="head")()
+        feat = ops.conv_chain_apply(x.astype(self.dtype), [(kh, bh, "relu")])
         body = feat
         for i in range(3):
             body = DepthwiseSeparableConv(
@@ -77,13 +82,20 @@ class MotionEstimator(nn.Module):
             f1, f2 = feat1, feat2
         corr = ops.correlation_volume(f1, f2, self.max_displacement)
         corr = corr.astype(self.dtype)
-        x = nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=self.dtype, name="flow0")(corr))
-        x = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=self.dtype, name="flow1")(x))
-        x = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="flow2")(x))
-        # Zero-initialised flow head: warping starts as the identity, so
-        # early training is not destabilised by random-flow gathers.
-        flow = nn.Conv(2, (3, 3), padding=1, kernel_init=nn.initializers.zeros_init(),
-                       dtype=self.dtype, name="flow3")(x)
+        # Flow head as ONE fused conv chain (zero-initialised last layer:
+        # warping starts as the identity, so early training is not
+        # destabilised by random-flow gathers).
+        nd = corr.shape[-1]
+        k0, b0 = ConvParams(128, (3, 3), nd, name="flow0")()
+        k1, b1 = ConvParams(64, (3, 3), 128, name="flow1")()
+        k2, b2 = ConvParams(32, (3, 3), 64, name="flow2")()
+        k3, b3 = ConvParams(
+            2, (3, 3), 32, kernel_init=nn.initializers.zeros_init(), name="flow3"
+        )()
+        flow = ops.conv_chain_apply(
+            corr,
+            [(k0, b0, "relu"), (k1, b1, "relu"), (k2, b2, "relu"), (k3, b3, "none")],
+        )
         if ds > 1:
             flow = ops.resize_bilinear(flow, (h, w)) * float(ds)
         return flow
@@ -111,9 +123,16 @@ class TemporalAggregator(nn.Module):
         t = len(frames)
         f = frames[0].shape[-1]
         concat = jnp.concatenate(frames, axis=-1)
-        x = nn.relu(nn.Conv(f, (3, 3), padding=1, dtype=self.dtype, name="attn0")(concat))
-        x = nn.relu(nn.Conv(f, (3, 3), padding=1, dtype=self.dtype, name="attn1")(x))
-        logits = nn.Conv(t, (3, 3), padding=1, dtype=self.dtype, name="attn2")(x)
+        # Attention net as ONE fused conv chain — XLA runs the 3-logit conv
+        # at a 128-lane-padded layout (~30 ms at 1080p); the fused kernel
+        # pads the output lanes only inside VMEM.
+        k0, b0 = ConvParams(f, (3, 3), t * f, name="attn0")()
+        k1, b1 = ConvParams(f, (3, 3), f, name="attn1")()
+        k2, b2 = ConvParams(t, (3, 3), f, name="attn2")()
+        logits = ops.conv_chain_apply(
+            concat.astype(self.dtype),
+            [(k0, b0, "relu"), (k1, b1, "relu"), (k2, b2, "none")],
+        )
         # Softmax over T computed on (B, H, W) planes: lane-dim reductions of
         # a T=3-channel tensor run against a 128-lane-padded layout (measured
         # ~100 ms at 1080p); elementwise plane math is ~free.
@@ -247,7 +266,7 @@ class SuperResolutionNet(nn.Module):
         self.rdbs = RDBStack(
             self.num_features, self.num_residual_blocks, dtype=self.dtype
         )
-        self.gff = nn.Conv(self.num_features, (3, 3), padding=1, dtype=self.dtype)
+        self.gff = ConvParams(self.num_features, (3, 3), self.num_features)
         self.upsampler = PixelShuffleUpsampler(
             self.scale_factor, self.in_channels, zero_init=True, shuffle=False,
             dtype=self.dtype,
@@ -268,16 +287,23 @@ class SuperResolutionNet(nn.Module):
         center_feat: jnp.ndarray,
         center_lr: jnp.ndarray,
         train: bool = False,
+        packed_output: bool = False,
     ) -> jnp.ndarray:
         """Aligned feature list + center LR frame → SR frame (B, sH, sW, C).
 
         The shared tail of the batched and streaming paths: attention
         aggregation → RDB stack → global fusion + center skip → pre-shuffle
         residual + phase-channel bicubic base → one depth-to-space.
+
+        ``packed_output=True`` returns (B, sH, sW·C) packed interleaved rows
+        via the Pallas depth-to-space (byte-identical to row-major rank-4;
+        avoids ~26 ms of XLA layout copies at 2160p — see
+        nerve_tpu.ops.pixel_shuffle).
         """
         aggregated = self.temporal_aggregator(aligned, train)
         residual = self.rdbs(aggregated)
-        fused = nn.relu(self.gff(residual))
+        kg, bg = self.gff()
+        fused = ops.conv_chain_apply(residual, [(kg, bg, "relu")])
         fused = fused + center_feat
 
         # Epilogue in pre-shuffle phase-channel space: the bicubic base is
@@ -292,10 +318,13 @@ class SuperResolutionNet(nn.Module):
             bicubic_ch.astype(jnp.float32) + hr_residual_ch.astype(jnp.float32),
             0.0, 1.0,
         )
+        del packed_output  # see nerve_tpu/ops/pixel_shuffle.py — packed-row
+        # epilogues are blocked on Mosaic lane-interleave support.
         return ops.pixel_shuffle(out_ch, self.scale_factor)
 
     def streaming_step(self, prev_feats, center_feat, next_feat,
-                       center_lr: jnp.ndarray) -> jnp.ndarray:
+                       center_lr: jnp.ndarray,
+                       packed_output: bool = False) -> jnp.ndarray:
         """One streaming-video step: cached neighbour features, new next frame.
 
         ``prev_feats``: list of the already-extracted features of frames
@@ -315,7 +344,9 @@ class SuperResolutionNet(nn.Module):
             + [warped[(len(prev_feats) + i) * b : (len(prev_feats) + i + 1) * b]
                for i in range(len(next_feat))]
         )
-        return self.fuse_from_features(aligned, center_feat, center_lr)
+        return self.fuse_from_features(
+            aligned, center_feat, center_lr, packed_output=packed_output
+        )
 
     def __call__(
         self,

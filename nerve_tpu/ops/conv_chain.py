@@ -84,7 +84,8 @@ def _pack_chain_weights(ws, bs):
     return packed
 
 
-def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int):
+def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int,
+                  img_h: int, img_w: int, nh_static: int, nw_static: int):
     """refs = 4 quad blocks, L weight refs, out_ref, scratch_a, scratch_b."""
     nl = len(specs)
     b00_ref, b01_ref, b10_ref, b11_ref = refs[:4]
@@ -104,9 +105,47 @@ def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int):
     @pl.when(step0)
     def _init():
         scr_a[...] = jnp.zeros(scr_a.shape, scr_a.dtype)
-        scr_a[:, :, 0:1] = jnp.ones((ph, pw, 1), scr_a.dtype)
         scr_b[...] = jnp.zeros(scr_b.shape, scr_b.dtype)
-        scr_b[:, :, 0:1] = jnp.ones((ph, pw, 1), scr_b.dtype)
+
+    # Ones channels re-written EVERY tile: boundary-strip zeroing below wipes
+    # them for whichever tile uses the scratch next.
+    scr_a[:, :, 0:1] = jnp.ones((ph, pw, 1), scr_a.dtype)
+    scr_b[:, :, 0:1] = jnp.ones((ph, pw, 1), scr_b.dtype)
+
+    # Valid-image mask: SAME convs re-pad zeros at the true image boundary
+    # before EVERY layer; intermediate halo values computed over the padding
+    # must be zeroed or later taps consume relu(bias) garbage there (see the
+    # identical fix in nerve_tpu.ops.rdb).
+    hi, wi = pl.program_id(1), pl.program_id(2)
+
+    def zero_boundary_strips(dst, cap):
+        # Out-of-image halo strips must be re-zeroed between layers (SAME
+        # convs re-pad zeros at the true image edge each layer). Full-lane
+        # pl.when-guarded stores — whole-tile masks measured ~3 ms/layer at
+        # 1080p (see nerve_tpu.ops.rdb for the measurement history). Zeroing
+        # all lanes is safe: the input-feature slots at those positions are
+        # already zero (wrapper padding) and the ones channel is re-written
+        # per tile below.
+        @pl.when(hi == 0)
+        def _top():
+            dst[1 : 1 + halo, :, :] = jnp.zeros((halo, pw, cap), dst.dtype)
+
+        @pl.when(wi == 0)
+        def _left():
+            dst[:, 1 : 1 + halo, :] = jnp.zeros((ph, halo, cap), dst.dtype)
+
+        for gi in range(max(nh_static - 2, 0), nh_static):
+            off = img_h + halo - gi * th
+            if off < hh:
+                @pl.when(hi == gi)
+                def _bot(off=off):
+                    dst[1 + off : 1 + hh, :, :] = jnp.zeros((hh - off, pw, cap), dst.dtype)
+        for gj in range(max(nw_static - 2, 0), nw_static):
+            off = img_w + halo - gj * tw
+            if off < ww:
+                @pl.when(wi == gj)
+                def _right(off=off):
+                    dst[:, 1 + off : 1 + ww, :] = jnp.zeros((ph, ww - off, cap), dst.dtype)
 
     f0, f1 = BIAS_SLOT, BIAS_SLOT + cin0
     scr_a[1 : 1 + th, 1 : 1 + tw, f0:f1] = b00_ref[0]
@@ -148,6 +187,7 @@ def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int):
             dst[1 : 1 + hh, 1 : 1 + ww, BIAS_SLOT : BIAS_SLOT + cout] = acc[
                 :, :, :cout
             ].astype(dst.dtype)
+            zero_boundary_strips(dst, dst.shape[-1])
             src = dst
 
 
@@ -187,7 +227,8 @@ def _chain_pallas(
     pw = ww + 2 + ((-(ww + 2)) % 8)
 
     kernel = functools.partial(
-        _chain_kernel, th=th, tw=tw, specs=specs, out_cout=out_cout, halo=halo
+        _chain_kernel, th=th, tw=tw, specs=specs, out_cout=out_cout, halo=halo,
+        img_h=h, img_w=w, nh_static=nh, nw_static=nw,
     )
     quad = lambda sh, sw: pl.BlockSpec(  # noqa: E731
         (1, th, tw, c),
@@ -270,6 +311,7 @@ def conv_chain_apply(
     ws = tuple(w for w, _b, _a in params)
     bs = tuple(b for _w, b, _a in params)
     acts = tuple(a for _w, _b, a in params)
+    _layer_specs(ws, acts)  # validate on every path
     if use_pallas:
         return conv_chain_fused(acts, x, ws, bs)
     return _chain_xla(x, ws, bs, acts)

@@ -102,6 +102,10 @@ def _rdb_kernel(
     th: int,
     tw: int,
     features: int,
+    img_h: int,
+    img_w: int,
+    nh_static: int,
+    nw_static: int,
 ):
     """Fused RDB on NHWC tiles.
 
@@ -130,11 +134,58 @@ def _rdb_kernel(
     @pl.when(step0)
     def _init():
         scratch[...] = jnp.zeros((ph, pw, KPAD), scratch.dtype)
-        scratch[:, :, 0:1] = jnp.ones((ph, pw, 1), scratch.dtype)
+
+    # The ones channel is re-written EVERY tile (not only at step0): boundary
+    # tiles zero their strips across the full lane extent below, which wipes
+    # it for whichever tile uses the scratch next.
+    scratch[:, :, 0:1] = jnp.ones((ph, pw, 1), scratch.dtype)
 
     # Assemble the (hh, ww) halo window from the 2×2 block neighbourhood by
     # writing each quadrant straight into scratch — concatenating first would
     # materialise a (2th, 2tw) stack temporary (several MB at serving tiles).
+    #
+    # Boundary handling: SAME-conv semantics re-pad ZEROS at the true image
+    # boundary before EVERY conv, so each layer's out-of-image halo values
+    # (computed over the padding: relu(bias) garbage, not zero) must be
+    # zeroed before the next layer consumes them. The strips are zeroed
+    # across the FULL lane extent (input feats there are already zero from
+    # the wrapper padding; the ones channel is never read for valid outputs
+    # at those positions) — lane-aligned full-width stores, under pl.when so
+    # interior tiles skip them. Whole-tile masks (where / multiply / negmask,
+    # any layout) measured +14 ms/block; lane-offset strip RMWs similar; this
+    # form + the flat unrolled layer loop measured best
+    # (scripts/diag_rdb.py).
+    hi, wi = pl.program_id(1), pl.program_id(2)
+
+    def zero_boundary_strips():
+        @pl.when(hi == 0)
+        def _top():
+            scratch[1 : 1 + HALO, :, :] = jnp.zeros((HALO, pw, KPAD), scratch.dtype)
+
+        @pl.when(wi == 0)
+        def _left():
+            scratch[:, 1 : 1 + HALO, :] = jnp.zeros((ph, HALO, KPAD), scratch.dtype)
+
+        # Bottom/right: any of the last two grid rows/cols can overlap the
+        # image edge (static offsets; emit a guard only where the overlap is
+        # geometrically possible).
+        for gi in range(max(nh_static - 2, 0), nh_static):
+            off = img_h + HALO - gi * th
+            if off < hh:
+                @pl.when(hi == gi)
+                def _bot(off=off):
+                    scratch[1 + off : 1 + hh, :, :] = jnp.zeros(
+                        (hh - off, pw, KPAD), scratch.dtype
+                    )
+        for gj in range(max(nw_static - 2, 0), nw_static):
+            off = img_w + HALO - gj * tw
+            if off < ww:
+                @pl.when(wi == gj)
+                def _right(off=off):
+                    scratch[:, 1 + off : 1 + ww, :] = jnp.zeros(
+                        (ph, ww - off, KPAD), scratch.dtype
+                    )
+
     f0, f1 = FEAT_OFF, FEAT_OFF + features
     scratch[1 : 1 + th, 1 : 1 + tw, f0:f1] = b00_ref[0]
     scratch[1 : 1 + th, 1 + tw : 1 + ww, f0:f1] = b01_ref[0, :, : ww - tw]
@@ -154,43 +205,27 @@ def _rdb_kernel(
         )
         return y.reshape(ph, pw, wcols.shape[1])
 
-    def make_layer(i, w_ref):
-        # Static per-layer closure: static growth-slot offset, one live set of
-        # matmul temps (the switch+fori structure forces stack reuse — a flat
-        # unroll keeps every layer's temps alive simultaneously and blows the
-        # VMEM budget).
-        #
-        # The conv is computed in three per-dy N=96 chunks: matmul → bf16
-        # cast → three dx-shifted adds into the f32 accumulator. Measured
-        # against the monolithic N=288 matmul + y_scratch materialisation,
-        # the chunked form is ~8 % faster (the bf16 cast halves the
-        # intermediate's store/load bytes, and dropping the shared y_scratch
-        # frees ~4 MB of VMEM); f32-value chunks and per-tap N=32 chunks are
-        # 3-4× SLOWER (spill traffic / MXU starvation — see
-        # scripts/diag_rdb.py).
-        def run(_):
-            acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
-            for dy in range(3):
-                y = matmul(w_ref, 3 * dy * GROWTH, (3 * dy + 3) * GROWTH)
-                y = y.astype(scratch.dtype)
-                for dx in range(3):
-                    acc = acc + y[
-                        dy : dy + hh, dx : dx + ww, dx * GROWTH : (dx + 1) * GROWTH
-                    ].astype(jnp.float32)
-            f = jnp.maximum(acc, 0.0)
-            ki = _layer_k(i, features)
-            scratch[1 : 1 + hh, 1 : 1 + ww, ki : ki + GROWTH] = f.astype(scratch.dtype)
-            return 0
-
-        return run
-
-    branches = [
-        make_layer(i, w_ref)
-        for i, w_ref in enumerate((w0_ref, w1_ref, w2_ref, w3_ref, w4_ref))
-    ]
-    jax.lax.fori_loop(
-        0, NUM_LAYERS, lambda i, _: jax.lax.switch(i, branches, 0), 0
-    )
+    # FLAT unrolled layer loop. Each dense layer is three per-dy N=96 matmul
+    # chunks: matmul → bf16 cast → three dx-shifted adds into an f32
+    # accumulator (monolithic N=288 + a y_scratch materialisation was ~15 %
+    # slower; f32-value chunks and per-tap N=32 chunks 3-4× slower). The
+    # earlier fori+switch structure (kept when temps were 4.7 MB each)
+    # pessimises scheduling once the boundary-strip writes are present —
+    # flat + strips measured 29 ms vs 41-45 ms for every switch-based
+    # masking variant (scripts/diag_rdb.py).
+    for i, w_ref in enumerate((w0_ref, w1_ref, w2_ref, w3_ref, w4_ref)):
+        acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
+        for dy in range(3):
+            y = matmul(w_ref, 3 * dy * GROWTH, (3 * dy + 3) * GROWTH)
+            y = y.astype(scratch.dtype)
+            for dx in range(3):
+                acc = acc + y[
+                    dy : dy + hh, dx : dx + ww, dx * GROWTH : (dx + 1) * GROWTH
+                ].astype(jnp.float32)
+        f = jnp.maximum(acc, 0.0)
+        ki = _layer_k(i, features)
+        scratch[1 : 1 + hh, 1 : 1 + ww, ki : ki + GROWTH] = f.astype(scratch.dtype)
+        zero_boundary_strips()
 
     lff = matmul(lw_ref)
     x_in = scratch[1 : 1 + hh, 1 : 1 + ww, FEAT_OFF : FEAT_OFF + features].astype(
@@ -204,7 +239,7 @@ def _rdb_pallas_nhwc(
     x: jnp.ndarray,
     params: Sequence[jnp.ndarray],
     th: int = 32,
-    tw: int = 120,
+    tw: int = 240,
 ) -> jnp.ndarray:
     """One fused RDB on an NHWC (B, H, W, C) array — no layout changes.
 
@@ -225,7 +260,10 @@ def _rdb_pallas_nhwc(
     xp = jnp.pad(x, ((0, 0), (HALO, pad_h), (HALO, pad_w), (0, 0)))
 
     packed = _pack_weights(params, c)
-    kernel = functools.partial(_rdb_kernel, th=th, tw=tw, features=c)
+    kernel = functools.partial(
+        _rdb_kernel, th=th, tw=tw, features=c, img_h=h, img_w=w,
+        nh_static=nh, nw_static=nw,
+    )
     quad_spec = lambda sh, sw: pl.BlockSpec(  # noqa: E731
         (1, th, tw, c),
         lambda bi, hi, wi, sh=sh, sw=sw: (bi, hi + sh, wi + sw, 0),

@@ -64,7 +64,69 @@ def make_kernel(th, tw, features, mode):
                                 preferred_element_type=jnp.float32)
             return y.reshape(ph, pw, n1 - n0)
 
+        negmask = None
+        if mode == "chunk_negmask":
+            row_g = jax.lax.broadcasted_iota(jnp.int32, (hh, ww, GROWTH), 0)
+            col_g = jax.lax.broadcasted_iota(jnp.int32, (hh, ww, GROWTH), 1)
+            hi, wi = pl.program_id(1), pl.program_id(2)
+            row_g = row_g + hi * th
+            col_g = col_g + wi * tw
+            inval = ((row_g < HALO) | (row_g >= 1080 + HALO)
+                     | (col_g < HALO) | (col_g >= 1920 + HALO))
+            negmask = inval.astype(jnp.float32) * (-1e9)
+
+        def zero_strips_full():
+            hi, wi = pl.program_id(1), pl.program_id(2)
+            nh = pl.num_programs(1)
+            nw = pl.num_programs(2)
+            @pl.when(hi == 0)
+            def _t():
+                scratch[1:1 + HALO, :, :] = jnp.zeros((HALO, pw, KPAD), scratch.dtype)
+            @pl.when(wi == 0)
+            def _l():
+                scratch[:, 1:1 + HALO, :] = jnp.zeros((ph, HALO, KPAD), scratch.dtype)
+            # serving 1080x1920 grid: bottom/right offsets for the last tiles
+            bot = 1080 + HALO - ((-(-1080 // th)) - 1) * th
+            if bot < hh:
+                @pl.when(hi == nh - 1)
+                def _b():
+                    scratch[1 + bot:1 + hh, :, :] = jnp.zeros((hh - bot, pw, KPAD), scratch.dtype)
+            rgt = 1920 + HALO - ((-(-1920 // tw)) - 1) * tw
+            if rgt < ww:
+                @pl.when(wi == nw - 1)
+                def _r():
+                    scratch[:, 1 + rgt:1 + ww, :] = jnp.zeros((ph, ww - rgt, KPAD), scratch.dtype)
+
         def make_layer(i, w_ref):
+            if mode == "chunk_strips_full":
+                def run(_):
+                    acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
+                    for dy in range(3):
+                        y = matmul_cols(w_ref, 3 * dy * GROWTH, (3 * dy + 3) * GROWTH)
+                        y = y.astype(jnp.bfloat16)
+                        for dx in range(3):
+                            acc = acc + y[dy:dy + hh, dx:dx + ww,
+                                          dx * GROWTH:(dx + 1) * GROWTH].astype(jnp.float32)
+                    f = jnp.maximum(acc, 0.0)
+                    ki = _layer_k(i, features)
+                    scratch[1:1 + hh, 1:1 + ww, ki:ki + GROWTH] = f.astype(scratch.dtype)
+                    zero_strips_full()
+                    return 0
+                return run
+            if mode == "chunk_negmask":
+                def run(_):
+                    acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
+                    for dy in range(3):
+                        y = matmul_cols(w_ref, 3 * dy * GROWTH, (3 * dy + 3) * GROWTH)
+                        y = y.astype(jnp.bfloat16)
+                        for dx in range(3):
+                            acc = acc + y[dy:dy + hh, dx:dx + ww,
+                                          dx * GROWTH:(dx + 1) * GROWTH].astype(jnp.float32)
+                    f = jnp.maximum(acc + negmask, 0.0)
+                    ki = _layer_k(i, features)
+                    scratch[1:1 + hh, 1:1 + ww, ki:ki + GROWTH] = f.astype(scratch.dtype)
+                    return 0
+                return run
             if mode in ("chunk_dy", "chunk_dy_bf16", "chunk_tap"):
                 def run(_):
                     acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
@@ -117,9 +179,24 @@ def make_kernel(th, tw, features, mode):
                 return 0
             return run
 
-        branches = [make_layer(i, w)
-                    for i, w in enumerate((w0_ref, w1_ref, w2_ref, w3_ref, w4_ref))]
-        jax.lax.fori_loop(0, NUM_LAYERS, lambda i, _: jax.lax.switch(i, branches, 0), 0)
+        w_all = (w0_ref, w1_ref, w2_ref, w3_ref, w4_ref)
+        if mode in ("flat", "flat_strips"):
+            for i, w_ref in enumerate(w_all):
+                acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
+                for dy in range(3):
+                    y = matmul_cols(w_ref, 3 * dy * GROWTH, (3 * dy + 3) * GROWTH)
+                    y = y.astype(jnp.bfloat16)
+                    for dx in range(3):
+                        acc = acc + y[dy:dy + hh, dx:dx + ww,
+                                      dx * GROWTH:(dx + 1) * GROWTH].astype(jnp.float32)
+                f = jnp.maximum(acc, 0.0)
+                ki = _layer_k(i, features)
+                scratch[1:1 + hh, 1:1 + ww, ki:ki + GROWTH] = f.astype(scratch.dtype)
+                if mode == "flat_strips":
+                    zero_strips_full()
+        else:
+            branches = [make_layer(i, w) for i, w in enumerate(w_all)]
+            jax.lax.fori_loop(0, NUM_LAYERS, lambda i, _: jax.lax.switch(i, branches, 0), 0)
 
         if mode == "nolff":
             out_ref[0] = scratch[
@@ -169,7 +246,7 @@ def run_variant(x, params, th, tw, mode, over):
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(xp, xp, xp, xp, *pk)[:, :h, :w, :]
 
-    if mode in ("full", "chunk_dy", "chunk_dy_bf16", "chunk_tap"):
+    if mode in ("full", "chunk_dy", "chunk_dy_bf16", "chunk_tap", "chunk_negmask", "chunk_strips_full", "flat", "flat_strips"):
         from nerve_tpu.ops.rdb import _rdb_xla
         ref = jax.jit(_rdb_xla)(x, params)
         got = jax.jit(call)(x, packed)
@@ -199,8 +276,12 @@ def main():
     import sys
     if len(sys.argv) > 1:
         modes = tuple(sys.argv[1].split(","))
-    for mode in modes:
-        run_variant(x, params, 32, 120, mode, over)
+    import os
+    tiles = os.environ.get("DIAG_TILES", "32x120")
+    for spec in tiles.split(","):
+        th, tw = (int(v) for v in spec.split("x"))
+        for mode in modes:
+            run_variant(x, params, th, tw, mode, over)
 
 
 if __name__ == "__main__":

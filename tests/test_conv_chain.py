@@ -1,0 +1,86 @@
+"""Fused conv-chain kernel vs the XLA formulation (interpret mode).
+
+Covers the boundary-semantics contract: SAME convs re-pad zeros at the true
+image edge before EVERY layer, so chained convs must match a layer-by-layer
+XLA reference exactly INCLUDING the outermost pixels (the kernel zeroes its
+out-of-image halo strips between layers — see nerve_tpu/ops/conv_chain.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from nerve_tpu.ops import conv_chain as cc
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _mk(rng, kh, cin, cout):
+    w = jnp.asarray(rng.standard_normal((kh, kh, cin, cout)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32)) * 0.1
+    return w, b
+
+
+class TestConvChain:
+    def test_three_layer_chain_exact_incl_boundary(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 16, 18, 8)).astype(np.float32)) * 0.5
+        params = [(*_mk(rng, 3, 8, 8), "relu"), (*_mk(rng, 3, 8, 8), "relu"),
+                  (*_mk(rng, 3, 8, 3), "none")]
+        ws = tuple(p[0] for p in params)
+        bs = tuple(p[1] for p in params)
+        acts = ("relu", "relu", "none")
+        ref = cc._chain_xla(x, ws, bs, acts)
+        with pltpu.force_tpu_interpret_mode():
+            got = cc.conv_chain_apply(x, params, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+    def test_multi_tile_matches_single(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 21, 27, 8)).astype(np.float32)) * 0.5
+        params = [(*_mk(rng, 3, 8, 8), "relu"), (*_mk(rng, 3, 8, 8), "none")]
+        ws, bs = tuple(p[0] for p in params), tuple(p[1] for p in params)
+        acts = ("relu", "none")
+        ref = cc._chain_xla(x, ws, bs, acts)
+        with pltpu.force_tpu_interpret_mode():
+            tiled = cc._chain_pallas(x, ws, bs, acts, th=8, tw=16)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=2e-6)
+
+    def test_mixed_1x1_and_small_output(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 12, 14, 6)).astype(np.float32)) * 0.5
+        params = [(*_mk(rng, 1, 6, 16), "relu"), (*_mk(rng, 3, 16, 2), "none")]
+        ws, bs = tuple(p[0] for p in params), tuple(p[1] for p in params)
+        ref = cc._chain_xla(x, ws, bs, ("relu", "none"))
+        with pltpu.force_tpu_interpret_mode():
+            got = cc.conv_chain_apply(x, params, use_pallas=True)
+        assert got.shape == (2, 12, 14, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+    def test_gradient_via_custom_vjp(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 10, 12, 4)).astype(np.float32))
+        params = [(*_mk(rng, 3, 4, 4), "relu"), (*_mk(rng, 3, 4, 4), "none")]
+
+        def loss(xx):
+            return jnp.sum(cc.conv_chain_apply(xx, params, use_pallas=False) ** 2)
+
+        g = jax.grad(loss)(x)
+        assert g.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_validation_errors(self, rng):
+        x = jnp.zeros((1, 8, 8, 4))
+        w5 = jnp.zeros((5, 5, 4, 4))
+        with pytest.raises(ValueError, match="3x3/1x1"):
+            cc.conv_chain_apply(x, [(w5, jnp.zeros(4), "relu")], use_pallas=False)
+        w3 = jnp.zeros((3, 3, 4, 4))
+        with pytest.raises(ValueError, match="activation"):
+            cc.conv_chain_apply(x, [(w3, jnp.zeros(4), "gelu")], use_pallas=False)
+        with pytest.raises(ValueError, match="mismatch"):
+            cc.conv_chain_apply(
+                x,
+                [(w3, jnp.zeros(4), "relu"), (jnp.zeros((3, 3, 8, 4)), jnp.zeros(4), "none")],
+                use_pallas=False,
+            )

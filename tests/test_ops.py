@@ -155,9 +155,11 @@ class TestFusedRDB:
         with pltpu.force_tpu_interpret_mode():
             single = rdb._rdb_pallas(x, params)
             tiled = rdb._rdb_pallas(x, params, th=12, tw=16)
+        # Exact incl. the outermost pixels: the kernel re-zeros out-of-image
+        # halo strips between layers, matching per-conv SAME zero padding.
         scale = float(jnp.max(jnp.abs(ref)))
-        np.testing.assert_allclose(np.asarray(single), np.asarray(ref), atol=0.03 * scale)
-        np.testing.assert_allclose(np.asarray(tiled), np.asarray(single), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(single), np.asarray(ref), atol=1e-5 * scale)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=1e-5 * scale)
 
     def test_gradient_via_custom_vjp(self, rng):
         from nerve_tpu.ops import rdb
