@@ -17,6 +17,15 @@ pushed inside by the clamp are never true taps and tent-weight to zero, and
 fully out-of-range samples weight to zero entirely. One 4-tap gather instead
 of four 1-tap gathers quarters the gather-row count — the dominant cost of
 warping on TPU.
+
+Negative results (measured at 1080p×64ch bf16, v5e — do not retry blindly):
+  * grouped-window gather (one (6, g+6, C) patch per g adjacent pixels,
+    dense tent-weighting inside the window): g=4 → 165 ms, g=8 → 125 ms vs
+    85 ms for the exact 4-tap gather. The shared window multiplies the
+    per-pixel FMA count ~15× and the patch bytes ~3×, which costs more than
+    the g× gather-issue saving. Any dense bounded-tap formulation (Pallas
+    residual taps included) has the same FMA blowup.
+  * f32 patch tensors: +22 ms (keep everything in the feature dtype).
 """
 
 from __future__ import annotations
