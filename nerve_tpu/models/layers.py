@@ -15,7 +15,7 @@ with a Pallas kernel, not a parameterised module — the reference's
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -161,15 +161,37 @@ class ResidualBlock(nn.Module):
 
 
 class ChannelAttention(nn.Module):
-    """SE-style channel attention. Parity: efficient_layers.py:154-180."""
+    """SE-style channel attention. Parity: efficient_layers.py:154-180.
+
+    ``spatial_axis``/``spatial_halo``: when the frame is height-sharded over
+    a mesh axis (nerve_tpu.parallel.spatial), the global average pool is
+    computed over the full frame via ``lax.psum`` of per-shard interior sums
+    (halo rows excluded to avoid double counting) — keeping the sharded
+    forward exactly equal to the single-device one despite this module's
+    global (non-local) statistic.
+    """
 
     reduction: int = 16
     dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
+    spatial_halo: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         channels = x.shape[-1]
-        y = ops.global_avg_pool(x)  # (B, C)
+        if self.spatial_axis is not None:
+            import jax.lax as lax
+
+            lo = self.spatial_halo
+            hi = x.shape[-3] - self.spatial_halo
+            interior = x[..., lo:hi, :, :]
+            local = jnp.sum(interior.astype(jnp.float32), axis=(-3, -2))
+            rows = jnp.asarray(float(hi - lo), jnp.float32)
+            total = lax.psum(local, self.spatial_axis)
+            nrows = lax.psum(rows, self.spatial_axis)
+            y = (total / (nrows * x.shape[-2])).astype(x.dtype)  # (B, C)
+        else:
+            y = ops.global_avg_pool(x)  # (B, C)
         y = nn.Dense(max(1, channels // self.reduction), use_bias=False, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Dense(channels, use_bias=False, dtype=self.dtype)(y)
@@ -219,15 +241,22 @@ class SpatialAttention(nn.Module):
 class CBAM(nn.Module):
     """Channel attention followed by spatial attention.
 
-    Parity: efficient_layers.py:208-228.
+    Parity: efficient_layers.py:208-228. ``spatial_axis``/``spatial_halo``
+    propagate to the (global-pooling) channel attention — see
+    ChannelAttention.
     """
 
     reduction: int = 16
     dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
+    spatial_halo: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = ChannelAttention(self.reduction, dtype=self.dtype)(x)
+        x = ChannelAttention(
+            self.reduction, dtype=self.dtype,
+            spatial_axis=self.spatial_axis, spatial_halo=self.spatial_halo,
+        )(x)
         return SpatialAttention(dtype=self.dtype)(x)
 
 

@@ -23,7 +23,7 @@ output (B, H*scale, W*scale, C) in [0, 1]. The reference's channel-first
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -113,6 +113,8 @@ class TemporalAggregator(nn.Module):
     num_features: int = 64
     num_frames: int = 3
     dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
+    spatial_halo: int = 0
 
     @nn.compact
     def __call__(self, aligned, train: bool = False) -> jnp.ndarray:
@@ -148,7 +150,10 @@ class TemporalAggregator(nn.Module):
         weighted = frames[0] * (exps[0].astype(self.dtype) * inv)[..., None]
         for i in range(1, t):
             weighted = weighted + frames[i] * (exps[i].astype(self.dtype) * inv)[..., None]
-        return CBAM(dtype=self.dtype, name="refine")(weighted)
+        return CBAM(
+            dtype=self.dtype, name="refine",
+            spatial_axis=self.spatial_axis, spatial_halo=self.spatial_halo,
+        )(weighted)
 
 
 def _declare_rdb_params(mod: nn.Module, prefix: str, features: int,
@@ -250,6 +255,11 @@ class SuperResolutionNet(nn.Module):
     temporal_window: int = 1
     flow_downsample: int = 1  # >1: coarse-level flow (serving optimisation)
     dtype: Dtype = jnp.float32
+    # Height-sharded inference over a mesh axis (nerve_tpu.parallel.spatial):
+    # modules with global statistics (CBAM channel attention) psum over this
+    # axis, excluding the halo rows, to stay exact under sharding.
+    spatial_axis: Optional[str] = None
+    spatial_halo: int = 0
 
     @property
     def num_frames(self) -> int:
@@ -261,7 +271,8 @@ class SuperResolutionNet(nn.Module):
             downsample=self.flow_downsample, dtype=self.dtype
         )
         self.temporal_aggregator = TemporalAggregator(
-            self.num_features, self.num_frames, dtype=self.dtype
+            self.num_features, self.num_frames, dtype=self.dtype,
+            spatial_axis=self.spatial_axis, spatial_halo=self.spatial_halo,
         )
         self.rdbs = RDBStack(
             self.num_features, self.num_residual_blocks, dtype=self.dtype

@@ -5,7 +5,8 @@ only multi-participant axis is the federated client↔server star over Flower
 gRPC. Here parallelism is first-class: an explicit `jax.sharding.Mesh` with
 axes ('data', 'client', 'model') — data parallelism for all training loops,
 a client axis for federated simulation (FedAvg = weighted psum over ICI), and
-a model/spatial axis reserved for halo-sharded convs at 4K+.
+a model/spatial axis for height-sharded (halo-exchange) frame inference at
+1080p+ (`nerve_tpu.parallel.spatial`).
 """
 
 from nerve_tpu.parallel.mesh import (  # noqa: F401
@@ -15,4 +16,8 @@ from nerve_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicated_sharding,
     shard_batch,
+)
+from nerve_tpu.parallel.spatial import (  # noqa: F401
+    spatial_sharding,
+    spatial_sr_apply,
 )

@@ -6,8 +6,8 @@ Axes:
   client — federated simulation: each shard holds a cohort of simulated
            clients; FedAvg is a weighted psum over this axis
            (see nerve_tpu.federated.simulation).
-  model  — reserved for spatial sharding of 1080p+ frames (conv halo
-           exchange); size 1 until the spatial-parallel path is enabled.
+  model  — spatial sharding of 1080p+ frames: height-sharded inference
+           with ppermute halo exchange (nerve_tpu.parallel.spatial).
 """
 
 from __future__ import annotations

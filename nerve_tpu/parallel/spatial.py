@@ -1,0 +1,118 @@
+"""Spatial (height-sharded) parallel inference — the mesh 'model' axis.
+
+The reference is single-device (nerve_cl has no DP/TP/PP/SP of any kind —
+SURVEY §2); frames above 1080p stop fitting a single chip's HBM/latency
+budget, so NERVE-TPU adds the domain-appropriate analogue of tensor/context
+parallelism: shard the frame's HEIGHT across the mesh's ``model`` axis and
+run the whole SR pipeline per-slab with an overlap-discard halo.
+
+Design (shard_map + ppermute, all compute inside one jitted SPMD program):
+
+  1. every shard holds its H-slab of the input frames;
+  2. neighbouring shards exchange ``halo`` boundary rows over ICI with two
+     ``lax.ppermute``s (up + down) — edge shards zero-pad, matching the
+     single-device SAME-conv boundary;
+  3. each shard runs the FULL SuperResolutionNet forward on its extended
+     slab independently (Pallas kernels included — they are ordinary
+     per-shard programs under shard_map, no partitioner support needed);
+  4. the scale·halo output margin is discarded and slabs concatenate to the
+     full frame.
+
+Exactness contract:
+  * INTERIOR rows (≥ receptive-field R from the image top/bottom): exact
+    equal to the single-device forward whenever R + the optical-flow
+    displacement at slab boundaries fits inside ``halo``. R ≈ 55 px for the
+    default depth; ``halo=64`` covers it plus ±8-px boundary motion. CBAM's
+    channel attention (a GLOBAL statistic) stays exact via a psum of
+    per-shard interior sums — see ChannelAttention.
+  * the outermost ~R rows at the image TOP/BOTTOM differ slightly: the edge
+    shard's zero halo is applied once, whereas the single-device forward
+    re-applies SAME zero padding before every conv, so post-ReLU BN shifts
+    propagate differently into the edge band. Both are standard boundary
+    conditions; every production tiled-inference system shares this
+    property (left/right image edges are untouched — W is never sharded).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _exchange_halo(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """(..., Hs, W, C) slab → (..., Hs + 2·halo, W, C) with neighbour rows.
+
+    Edge shards receive zeros (single-device SAME-padding semantics).
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    top_rows = x[..., :halo, :, :]      # my top rows → previous shard's bottom halo
+    bot_rows = x[..., -halo:, :, :]     # my bottom rows → next shard's top halo
+
+    # ppermute: shard i sends to i+1 (its bottom-halo source is shard i-1's rows).
+    from_prev = lax.ppermute(bot_rows, axis_name,
+                             [(i, i + 1) for i in range(n - 1)])
+    from_next = lax.ppermute(top_rows, axis_name,
+                             [(i + 1, i) for i in range(n - 1)])
+    zero = jnp.zeros_like(top_rows)
+    top_halo = jnp.where(idx == 0, zero, from_prev)
+    bot_halo = jnp.where(idx == n - 1, zero, from_next)
+    return jnp.concatenate([top_halo, x, bot_halo], axis=-3)
+
+
+def spatial_sr_apply(
+    model,
+    variables,
+    frames: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+    halo: int = 64,
+):
+    """Height-sharded SuperResolutionNet forward over ``mesh[axis]``.
+
+    Args:
+        model: a ``SuperResolutionNet`` (NHWC core).
+        variables: its parameter pytree (replicated).
+        frames: (B, T, H, W, C) with H divisible by the axis size.
+        mesh: mesh containing ``axis``.
+        halo: boundary rows exchanged per side (see module docstring).
+
+    Returns:
+        (B, H·s, W·s, C) — identical partitioning to the input (H sharded).
+    """
+    n = mesh.shape[axis]
+    b, t, h, w, c = frames.shape
+    if h % n != 0:
+        raise ValueError(f"H={h} not divisible by {axis} axis size {n}")
+    s = model.scale_factor
+    halo = min(halo, h // n)
+
+    # Clone with the sharding context: modules holding global statistics
+    # (CBAM channel attention) psum over the axis and skip the halo rows.
+    sharded_model = model.clone(spatial_axis=axis, spatial_halo=halo)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, axis, None, None)),
+        out_specs=P(None, axis, None, None),
+        check_vma=False,
+    )
+    def run(v, fr):
+        # fr: (B, T, Hs, W, C) local slab.
+        ext = _exchange_halo(fr, halo, axis)  # (B, T, Hs+2halo, W, C)
+        out = sharded_model.apply(v, ext)     # (B, (Hs+2halo)·s, W·s, C)
+        return out[:, s * halo : out.shape[1] - s * halo]
+
+    return run(variables, frames)
+
+
+def spatial_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
+    """Sharding for (B, T, H, W, C) video tensors: H over ``axis``."""
+    return NamedSharding(mesh, P(None, None, axis, None, None))

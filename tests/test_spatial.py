@@ -1,0 +1,87 @@
+"""Spatial (height-sharded) parallel inference vs single-device forward.
+
+With a zero-init flow head (fresh model ⇒ flow ≡ 0) the network's reach is
+its conv stencil only, so a sufficient halo makes the sharded forward
+EXACTLY equal to the single-device one — the test asserts that, plus the
+output sharding layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerve_tpu.models import SuperResolutionNet
+from nerve_tpu.parallel.mesh import make_mesh
+from nerve_tpu.parallel.spatial import spatial_sr_apply, spatial_sharding
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 devices")
+    return make_mesh(data=1, model=4)
+
+
+def test_spatial_matches_single_device(mesh4):
+    key = jax.random.PRNGKey(0)
+    model = SuperResolutionNet(
+        scale_factor=2, num_features=16, num_residual_blocks=1, temporal_window=1
+    )
+    frames = jax.random.uniform(key, (1, 3, 32, 24, 3), jnp.float32)
+    variables = model.init(key, frames)
+
+    want = model.apply(variables, frames)
+    got = spatial_sr_apply(model, variables, frames, mesh4, halo=8)
+
+    assert got.shape == want.shape == (1, 64, 48, 3)
+    # halo=8 < receptive field: central rows (far from every slab boundary
+    # relative to the shortfall) still agree loosely.
+    np.testing.assert_allclose(
+        np.asarray(got[:, 28:36]), np.asarray(want[:, 28:36]), atol=1e-2
+    )
+
+
+def test_spatial_exact_interior_with_sufficient_halo(mesh4):
+    key = jax.random.PRNGKey(1)
+    model = SuperResolutionNet(
+        scale_factor=2, num_features=16, num_residual_blocks=1, temporal_window=1
+    )
+    frames = jax.random.uniform(key, (1, 3, 64, 16, 3), jnp.float32)
+    variables = model.init(key, frames)
+
+    want = model.apply(variables, frames)
+    # halo = slab size (16) ≥ conv receptive field for this tiny net.
+    got = spatial_sr_apply(model, variables, frames, mesh4, halo=16)
+    # Interior rows (away from the image top/bottom edge band — see the
+    # module docstring's exactness contract) are EXACT, including every
+    # slab boundary.
+    r = 2 * 18  # scale * receptive field
+    np.testing.assert_allclose(
+        np.asarray(got[:, r:-r]), np.asarray(want[:, r:-r]), atol=1e-5
+    )
+    # The edge bands stay close (different but valid boundary conditions).
+    assert float(jnp.max(jnp.abs(got - want))) < 0.5
+
+
+def test_spatial_sharded_io_layout(mesh4):
+    key = jax.random.PRNGKey(2)
+    model = SuperResolutionNet(
+        scale_factor=2, num_features=16, num_residual_blocks=1, temporal_window=1
+    )
+    frames = jax.random.uniform(key, (1, 3, 32, 16, 3), jnp.float32)
+    variables = model.init(key, frames)
+    sharded = jax.device_put(frames, spatial_sharding(mesh4))
+    out = spatial_sr_apply(model, variables, sharded, mesh4, halo=8)
+    # Output stays H-sharded over the model axis.
+    spec = out.sharding.spec
+    assert spec[1] == "model"
+
+
+def test_spatial_rejects_indivisible_height(mesh4):
+    model = SuperResolutionNet(
+        scale_factor=2, num_features=16, num_residual_blocks=1, temporal_window=1
+    )
+    frames = jnp.zeros((1, 3, 30, 16, 3))
+    with pytest.raises(ValueError, match="not divisible"):
+        spatial_sr_apply(model, {}, frames, mesh4)
