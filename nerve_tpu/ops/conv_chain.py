@@ -85,18 +85,25 @@ def _pack_chain_weights(ws, bs):
 
 
 def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int,
-                  img_h: int, img_w: int, nh_static: int, nw_static: int):
-    """refs = 4 quad blocks, L weight refs, out_ref, scratch_a, scratch_b."""
+                  img_h: int, img_w: int, nh_static: int, nw_static: int,
+                  cins):
+    """refs = 4·len(cins) quad blocks, L weight refs, out_ref, scratches.
+
+    ``cins``: per-input channel counts — multiple inputs are concatenated
+    ON THE FLY into adjacent channel slots of scratch A (the fused
+    equivalent of a channel concat feeding the chain: no concatenated
+    tensor ever exists in HBM).
+    """
     nl = len(specs)
-    b00_ref, b01_ref, b10_ref, b11_ref = refs[:4]
-    w_refs = refs[4 : 4 + nl]
-    out_ref = refs[4 + nl]
-    scr_a, scr_b = refs[4 + nl + 1 :]
+    nin = len(cins)
+    quad_refs = refs[: 4 * nin]
+    w_refs = refs[4 * nin : 4 * nin + nl]
+    out_ref = refs[4 * nin + nl]
+    scr_a, scr_b = refs[4 * nin + nl + 1 :]
     hh, ww = th + 2 * halo, tw + 2 * halo
     ph = hh + 2
     pw = ww + 2 + ((-(ww + 2)) % 8)
     m = ph * pw
-    cin0 = specs[0][2]
 
     step0 = (
         (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
@@ -147,11 +154,15 @@ def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int,
                 def _right(off=off):
                     dst[:, 1 + off : 1 + ww, :] = jnp.zeros((ph, ww - off, cap), dst.dtype)
 
-    f0, f1 = BIAS_SLOT, BIAS_SLOT + cin0
-    scr_a[1 : 1 + th, 1 : 1 + tw, f0:f1] = b00_ref[0]
-    scr_a[1 : 1 + th, 1 + tw : 1 + ww, f0:f1] = b01_ref[0, :, : ww - tw]
-    scr_a[1 + th : 1 + hh, 1 : 1 + tw, f0:f1] = b10_ref[0, : hh - th]
-    scr_a[1 + th : 1 + hh, 1 + tw : 1 + ww, f0:f1] = b11_ref[0, : hh - th, : ww - tw]
+    off = BIAS_SLOT
+    for ii, ci in enumerate(cins):
+        b00_ref, b01_ref, b10_ref, b11_ref = quad_refs[4 * ii : 4 * ii + 4]
+        f0, f1 = off, off + ci
+        scr_a[1 : 1 + th, 1 : 1 + tw, f0:f1] = b00_ref[0]
+        scr_a[1 : 1 + th, 1 + tw : 1 + ww, f0:f1] = b01_ref[0, :, : ww - tw]
+        scr_a[1 + th : 1 + hh, 1 : 1 + tw, f0:f1] = b10_ref[0, : hh - th]
+        scr_a[1 + th : 1 + hh, 1 + tw : 1 + ww, f0:f1] = b11_ref[0, : hh - th, : ww - tw]
+        off += ci
 
     def matmul(src, k, w_ref, n0, n1):
         x = src[:, :, :k].reshape(m, k)
@@ -192,15 +203,23 @@ def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int,
 
 
 def _chain_pallas(
-    x: jnp.ndarray,
+    xs,
     ws,
     bs,
     acts,
     th: int = 32,
     tw: int = 120,
 ) -> jnp.ndarray:
+    """``xs``: one array or a sequence (fused channel-concat, see kernel)."""
+    if isinstance(xs, (list, tuple)):
+        xs = list(xs)
+    else:
+        xs = [xs]
     specs = _layer_specs(ws, acts)
-    b, h, w, c = x.shape
+    b, h, w, _c0 = xs[0].shape
+    cins = [xx.shape[-1] for xx in xs]
+    c = sum(cins)
+    x = xs[0]
     halo = max(_chain_halo(specs), 1)
     th = max(th, 2 * halo)
     tw = max(tw - tw % 8, _ceil_to(2 * halo, 8))
@@ -208,7 +227,9 @@ def _chain_pallas(
     nw = -(-w // tw)
     pad_h = (nh + 1) * th - (h + halo)
     pad_w = (nw + 1) * tw - (w + halo)
-    xp = jnp.pad(x, ((0, 0), (halo, pad_h), (halo, pad_w), (0, 0)))
+    xps = [
+        jnp.pad(xx, ((0, 0), (halo, pad_h), (halo, pad_w), (0, 0))) for xx in xs
+    ]
 
     packed = _pack_chain_weights(
         [w.astype(x.dtype) for w in ws], [bb.astype(x.dtype) for bb in bs]
@@ -217,7 +238,7 @@ def _chain_pallas(
 
     # Ping-pong channel capacities: A holds the input and every even layer's
     # output, B every odd layer's output.
-    ca = max([specs[0][2]] + [s[3] for i, s in enumerate(specs[:-1]) if i % 2 == 1])
+    ca = max([c] + [s[3] for i, s in enumerate(specs[:-1]) if i % 2 == 1])
     cb = max([s[3] for i, s in enumerate(specs[:-1]) if i % 2 == 0] or [8])
     ca = _ceil_to(BIAS_SLOT + ca, 128)
     cb = _ceil_to(BIAS_SLOT + cb, 128)
@@ -228,10 +249,10 @@ def _chain_pallas(
 
     kernel = functools.partial(
         _chain_kernel, th=th, tw=tw, specs=specs, out_cout=out_cout, halo=halo,
-        img_h=h, img_w=w, nh_static=nh, nw_static=nw,
+        img_h=h, img_w=w, nh_static=nh, nw_static=nw, cins=tuple(cins),
     )
-    quad = lambda sh, sw: pl.BlockSpec(  # noqa: E731
-        (1, th, tw, c),
+    quad = lambda ci, sh, sw: pl.BlockSpec(  # noqa: E731
+        (1, th, tw, ci),
         lambda bi, hi, wi, sh=sh, sw=sw: (bi, hi + sh, wi + sw, 0),
         memory_space=pltpu.VMEM,
     )
@@ -239,12 +260,18 @@ def _chain_pallas(
         arr.shape, lambda bi, hi, wi: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
 
+    in_specs = []
+    operands = []
+    for xx, ci in zip(xps, cins):
+        in_specs += [quad(ci, 0, 0), quad(ci, 0, 1), quad(ci, 1, 0), quad(ci, 1, 1)]
+        operands += [xx, xx, xx, xx]
+    in_specs += [full(p) for p in packed]
+
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, nh * th, nw * tw, out_cout), x.dtype),
         grid=(b, nh, nw),
-        in_specs=[quad(0, 0), quad(0, 1), quad(1, 0), quad(1, 1)]
-        + [full(p) for p in packed],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, th, tw, out_cout),
             lambda bi, hi, wi: (bi, hi, wi, 0),
@@ -257,13 +284,15 @@ def _chain_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(xp, xp, xp, xp, *packed)
+    )(*operands, *packed)
 
     return out[:, :h, :w, :]
 
 
-def _chain_xla(x: jnp.ndarray, ws, bs, acts) -> jnp.ndarray:
+def _chain_xla(x, ws, bs, acts) -> jnp.ndarray:
     """Reference XLA formulation — identical math, autodiff-friendly."""
+    if isinstance(x, (list, tuple)):
+        x = jnp.concatenate(list(x), axis=-1)
     for w, bias, act in zip(ws, bs, acts):
         dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
         y = lax.conv_general_dilated(
@@ -277,7 +306,8 @@ def _chain_xla(x: jnp.ndarray, ws, bs, acts) -> jnp.ndarray:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def conv_chain_fused(acts, x, ws, bs) -> jnp.ndarray:
-    """Fused conv chain: (B, H, W, Cin) → (B, H, W, Cout_last)."""
+    """Fused conv chain: (B, H, W, Cin) [or an input tuple to concat] →
+    (B, H, W, Cout_last)."""
     return _chain_pallas(x, ws, bs, acts)
 
 
@@ -299,15 +329,23 @@ def _auto_pallas(x: jnp.ndarray) -> bool:
 
 
 def conv_chain_apply(
-    x: jnp.ndarray, params, use_pallas: bool | None = None
+    x, params, use_pallas: bool | None = None
 ) -> jnp.ndarray:
     """Run a conv(+ReLU) chain; fused on TPU bf16, XLA elsewhere.
 
+    ``x``: one (B, H, W, Cin) array OR a sequence of them — a sequence is
+    channel-concatenated inside the kernel (adjacent scratch slots; the
+    concatenated tensor never exists in HBM).
     ``params``: sequence of (kernel (kh,kw,cin,cout), bias (cout,), act)
     with act ∈ {'relu', 'none'}.
     """
+    if isinstance(x, (list, tuple)):
+        x = tuple(x)
+        probe = x[0]
+    else:
+        probe = x
     if use_pallas is None:
-        use_pallas = _auto_pallas(x)
+        use_pallas = _auto_pallas(probe)
     ws = tuple(w for w, _b, _a in params)
     bs = tuple(b for _w, b, _a in params)
     acts = tuple(a for _w, _b, a in params)
