@@ -81,12 +81,11 @@ def main(argv=None):
     )
     num_frames = 2 * args.temporal_window + 1
 
-    state, history = training.fit_sr(
-        model, train_data, val_data, cfg.training, num_frames, mesh=mesh, seed=args.seed
-    )
-
     ckpt = CheckpointManager(args.checkpoint_dir, cfg.checkpoint.keep_last_n)
-    ckpt.save(int(state.step), {"params": state.params, "batch_stats": state.batch_stats})
+    state, history = training.fit_sr(
+        model, train_data, val_data, cfg.training, num_frames, mesh=mesh,
+        seed=args.seed, ckpt_manager=ckpt,
+    )
     ckpt.close()
 
     print(json.dumps({"best_psnr": history["best_psnr"], "final_psnr": history["final_psnr"]}))

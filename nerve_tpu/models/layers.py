@@ -51,37 +51,109 @@ class ConvParams(nn.Module):
         return k, b
 
 
+class _KernelParams(nn.Module):
+    """Bias-free ``nn.Conv``-compatible kernel declaration (returns it)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape,
+                          jnp.float32)
+
+
+class _BNParams(nn.Module):
+    """``nn.BatchNorm``-compatible parameter/stat declaration (returns them).
+
+    Tree-identical to flax BatchNorm (params scale/bias, batch_stats
+    mean/var) so checkpoints stay interchangeable with the module form.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean, var
+
+
 class DepthwiseSeparableConv(nn.Module):
     """Depthwise 3×3 + pointwise 1×1 + BN + ReLU.
 
     Parity: efficient_layers.py:9-67 (bias-free convs, BN after pointwise).
+
+    ``use_fused`` routes eval-mode forwards through the conv-chain Pallas
+    kernel with the BN affine folded into the pointwise kernel. DEFAULT OFF:
+    measured SLOWER than XLA at both 32 and 64 channels (lightweight model
+    28.5→79 ms/frame) — per-block pallas launches + pad round-trips +
+    lane-broadcast taps lose to XLA's fused conv pipeline for these small
+    channel counts. Kept for future Mosaic improvements; training always
+    uses the unfused path with live batch statistics (flax momentum 0.9 ⇔
+    torch 0.1, eps 1e-5 — identical to nn.BatchNorm).
     """
 
     features: int
     kernel_size: int = 3
     stride: int = 1
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        x = nn.Conv(
-            in_ch,
-            (self.kernel_size, self.kernel_size),
-            strides=self.stride,
-            padding=self.kernel_size // 2,
-            feature_group_count=in_ch,
-            use_bias=False,
-            dtype=self.dtype,
-            name="depthwise",
-        )(x)
-        x = nn.Conv(
-            self.features, (1, 1), use_bias=False, dtype=self.dtype, name="pointwise"
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
-        )(x)
-        return nn.relu(x)
+        kd = _KernelParams(
+            (self.kernel_size, self.kernel_size, 1, in_ch), name="depthwise"
+        )()
+        kp = _KernelParams((1, 1, in_ch, self.features), name="pointwise")()
+        scale, bias, mean_v, var_v = _BNParams(self.features, name="BatchNorm_0")()
+        eps = 1e-5
+
+        if (not train and self.use_fused and self.stride == 1
+                and self.kernel_size == 3):
+            inv = scale / jnp.sqrt(var_v.value + eps)
+            kp_f = kp * inv[None, None, None, :]
+            b_f = bias - mean_v.value * inv
+            y = ops.conv_chain_apply(
+                x.astype(self.dtype),
+                [
+                    (kd[:, :, 0, :], jnp.zeros((in_ch,), kd.dtype), "none"),
+                    (kp_f, b_f, "relu"),
+                ],
+            )
+            return y
+
+        import jax.lax as lax
+
+        dn = lax.conv_dimension_numbers(x.shape, kd.shape, ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), kd.astype(self.dtype),
+            (self.stride, self.stride), [(1, 1), (1, 1)] if self.kernel_size == 3
+            else "SAME", dimension_numbers=dn, feature_group_count=in_ch,
+        )
+        dn2 = lax.conv_dimension_numbers(y.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            y, kp.astype(self.dtype), (1, 1), "SAME", dimension_numbers=dn2
+        )
+        if train:
+            yf = y.astype(jnp.float32)
+            m = jnp.mean(yf, axis=(0, 1, 2))
+            v = jnp.mean(jnp.square(yf - m), axis=(0, 1, 2))
+            if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+                mean_v.value = 0.9 * mean_v.value + 0.1 * m
+                var_v.value = 0.9 * var_v.value + 0.1 * v
+        else:
+            m, v = mean_v.value, var_v.value
+        # Affine in the compute dtype (nn.BatchNorm(dtype=...) semantics):
+        # per-channel scalars fold to compute-dtype constants, the big tensor
+        # never round-trips f32.
+        sc = (scale / jnp.sqrt(v + eps)).astype(self.dtype)
+        sh = (bias - m * (scale / jnp.sqrt(v + eps))).astype(self.dtype)
+        return nn.relu(y.astype(self.dtype) * sc + sh)
 
 
 class PixelShuffleUpsampler(nn.Module):

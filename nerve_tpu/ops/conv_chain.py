@@ -46,33 +46,50 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _chain_halo(specs) -> int:
-    return sum(1 for (kh, _kw, _cin, _cout, _act) in specs if kh == 3)
+    return sum(1 for (kind, _cin, _cout, _act) in specs if kind in ("3x3", "dw3"))
 
 
 def _layer_specs(ws, acts):
-    """weights + acts → [(kh, kw, cin, cout, act)] with validation."""
+    """weights + acts → [(kind, cin, cout, act)] with validation.
+
+    kind ∈ {"3x3", "1x1", "dw3"}; a rank-3 (3, 3, C) weight marks a
+    DEPTHWISE 3×3 layer (groups == C, as in DepthwiseSeparableConv).
+    """
     specs = []
     for w, act in zip(ws, acts):
-        kh, kw, cin, cout = w.shape
-        if (kh, kw) not in ((3, 3), (1, 1)):
-            raise ValueError(f"conv_chain supports 3x3/1x1 kernels, got {kh}x{kw}")
+        if w.ndim == 3:
+            kh, kw, cin = w.shape
+            if (kh, kw) != (3, 3):
+                raise ValueError("depthwise conv_chain layers must be 3x3")
+            specs.append(("dw3", cin, cin, act))
+        else:
+            kh, kw, cin, cout = w.shape
+            if (kh, kw) not in ((3, 3), (1, 1)):
+                raise ValueError(f"conv_chain supports 3x3/1x1 kernels, got {kh}x{kw}")
+            specs.append(("3x3" if kh == 3 else "1x1", cin, cout, act))
         if act not in ("relu", "none"):
             raise ValueError(f"unknown activation {act!r}")
-        specs.append((kh, kw, cin, cout, act))
     for a, b in zip(specs, specs[1:]):
-        if a[3] != b[2]:
+        if a[2] != b[1]:
             raise ValueError("conv_chain layer channel mismatch")
     return specs
 
 
 def _pack_chain_weights(ws, bs):
-    """Per layer: (K_i, taps·Npad) matrix, bias folded into row 0 (ones ch).
-
-    K_i = BIAS_SLOT + cin; taps = 9 (3×3, row-major tap order (dy, dx)) or
-    1 (1×1). Npad = cout padded to ≥MIN_NOUT lanes.
+    """Per layer: (K_i, taps·Npad) matmul matrix, bias folded into row 0
+    (ones ch) — or, for depthwise layers, a (16, C) per-tap row matrix with
+    the 9 taps on rows [0:9) and the bias on row 9 (sublane-padded to 16).
     """
     packed = []
     for w, b in zip(ws, bs):
+        if w.ndim == 3:  # depthwise (3, 3, C)
+            cin = w.shape[2]
+            wd = w.reshape(9, cin)
+            wd = jnp.concatenate(
+                [wd, b[None, :], jnp.zeros((6, cin), w.dtype)], axis=0
+            )
+            packed.append(wd.astype(w.dtype))
+            continue
         kh, kw, cin, cout = w.shape
         npad = max(_ceil_to(cout, MIN_NOUT), MIN_NOUT)
         ki = BIAS_SLOT + cin
@@ -173,10 +190,26 @@ def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int,
         return y.reshape(ph, pw, n1 - n0)
 
     src = scr_a
-    for li, ((kh, _kw, cin, cout, act), w_ref) in enumerate(zip(specs, w_refs)):
+    for li, ((kind, cin, cout, act), w_ref) in enumerate(zip(specs, w_refs)):
         npad = max(_ceil_to(cout, MIN_NOUT), MIN_NOUT)
         k = BIAS_SLOT + cin
-        if kh == 3:
+        if kind == "dw3":
+            # Depthwise 3×3: nine shifted broadcast-FMAs on the VPU — the
+            # per-tap (C,) weight row broadcasts over rows/cols; MXU is not
+            # involved (XLA runs these at 0.5 TF/s, memory-bound; in VMEM
+            # they are pure streaming adds). Bias on packed row 9.
+            acc = jnp.zeros((hh, ww, cin), jnp.float32) + w_ref[9, :cin].astype(
+                jnp.float32
+            )
+            xsrc = src[:, :, BIAS_SLOT : BIAS_SLOT + cin]
+            for dy in range(3):
+                for dx in range(3):
+                    tap = w_ref[3 * dy + dx, :cin].astype(jnp.float32)
+                    acc = acc + (
+                        xsrc[dy : dy + hh, dx : dx + ww, :].astype(jnp.float32) * tap
+                    )
+            npad = cin
+        elif kind == "3x3":
             acc = jnp.zeros((hh, ww, npad), jnp.float32)
             for dy in range(3):
                 y = matmul(src, k, w_ref, 3 * dy * npad, (3 * dy + 3) * npad)
@@ -234,12 +267,12 @@ def _chain_pallas(
     packed = _pack_chain_weights(
         [w.astype(x.dtype) for w in ws], [bb.astype(x.dtype) for bb in bs]
     )
-    out_cout = specs[-1][3]
+    out_cout = specs[-1][2]
 
     # Ping-pong channel capacities: A holds the input and every even layer's
     # output, B every odd layer's output.
-    ca = max([c] + [s[3] for i, s in enumerate(specs[:-1]) if i % 2 == 1])
-    cb = max([s[3] for i, s in enumerate(specs[:-1]) if i % 2 == 0] or [8])
+    ca = max([c] + [s[2] for i, s in enumerate(specs[:-1]) if i % 2 == 1])
+    cb = max([s[2] for i, s in enumerate(specs[:-1]) if i % 2 == 0] or [8])
     ca = _ceil_to(BIAS_SLOT + ca, 128)
     cb = _ceil_to(BIAS_SLOT + cb, 128)
 
@@ -294,10 +327,19 @@ def _chain_xla(x, ws, bs, acts) -> jnp.ndarray:
     if isinstance(x, (list, tuple)):
         x = jnp.concatenate(list(x), axis=-1)
     for w, bias, act in zip(ws, bs, acts):
-        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-        y = lax.conv_general_dilated(
-            x, w.astype(x.dtype), (1, 1), "SAME", dimension_numbers=dn
-        ).astype(jnp.float32) + bias.astype(jnp.float32)
+        if w.ndim == 3:  # depthwise (3, 3, C)
+            c = w.shape[2]
+            wd = w.astype(x.dtype)[:, :, None, :]  # (3,3,1,C) HWIO grouped
+            dn = lax.conv_dimension_numbers(x.shape, wd.shape, ("NHWC", "HWIO", "NHWC"))
+            y = lax.conv_general_dilated(
+                x, wd, (1, 1), "SAME", dimension_numbers=dn,
+                feature_group_count=c,
+            ).astype(jnp.float32) + bias.astype(jnp.float32)
+        else:
+            dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+            y = lax.conv_general_dilated(
+                x, w.astype(x.dtype), (1, 1), "SAME", dimension_numbers=dn
+            ).astype(jnp.float32) + bias.astype(jnp.float32)
         if act == "relu":
             y = jnp.maximum(y, 0.0)
         x = y.astype(x.dtype)

@@ -162,8 +162,17 @@ def fit_sr(
     mesh: Optional[Mesh] = None,
     seed: int = 0,
     log_fn: Callable[[str], None] = print,
+    ckpt_manager=None,
+    ckpt_every: int = 1,
 ) -> Tuple[TrainState, Dict[str, float]]:
-    """The baseline SR training loop (parity: train_baseline.py:35-135)."""
+    """The baseline SR training loop (parity: train_baseline.py:35-135).
+
+    ``ckpt_manager`` (a ``nerve_tpu.utils.checkpoint.CheckpointManager``)
+    enables REAL mid-run checkpoint/resume — absent from the reference
+    (SURVEY §5): the full train state (params, optimizer state, BN stats,
+    step) is saved every ``ckpt_every`` epochs, and an interrupted run
+    restarted with the same manager resumes from the latest epoch.
+    """
     steps_per_epoch = max(1, len(train_data["lr"]) // cfg.batch_size)
     tx = create_optimizer(cfg, steps_per_epoch)
 
@@ -174,10 +183,24 @@ def fit_sr(
     train_step = make_sr_train_step(model, cfg.losses.pixel_loss_type, mesh)
     eval_step = make_sr_eval_step(model, mesh)
 
-    rng = np.random.default_rng(seed)
+    start_epoch = 0
+    if ckpt_manager is not None and ckpt_manager.latest_step() is not None:
+        start_epoch = int(ckpt_manager.latest_step())
+        restored = ckpt_manager.restore(
+            {"params": state.params, "opt_state": state.opt_state,
+             "batch_stats": state.batch_stats, "step": state.step}
+        )
+        state = state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            batch_stats=restored["batch_stats"], step=restored["step"],
+        )
+        log_fn(f"resumed from checkpoint at epoch {start_epoch}")
+
+    rng = np.random.default_rng(seed + start_epoch)
     best_psnr = -1.0
     history: Dict[str, float] = {}
-    for epoch in range(cfg.epochs):
+    train_loss = val_psnr = float("nan")
+    for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         losses = []
         for batch in data_lib.batches(train_data, cfg.batch_size, rng=rng):
@@ -197,6 +220,12 @@ def fit_sr(
             f"epoch {epoch + 1}/{cfg.epochs}: loss={train_loss:.5f} "
             f"val_psnr={val_psnr:.2f}dB ({dt:.1f}s)"
         )
+        if ckpt_manager is not None and (epoch + 1) % ckpt_every == 0:
+            ckpt_manager.save(
+                epoch + 1,
+                {"params": state.params, "opt_state": state.opt_state,
+                 "batch_stats": state.batch_stats, "step": state.step},
+            )
     history["best_psnr"] = best_psnr
     history["final_psnr"] = val_psnr
     history["final_loss"] = train_loss

@@ -113,3 +113,43 @@ class TestData:
         assert len(tasks) == 3
         names = [t[0] for t in tasks]
         assert names == ["sports", "animation", "movie"]
+
+
+def test_fit_sr_checkpoint_resume(tmp_path):
+    """Interrupted training resumes from the latest epoch with full state."""
+    import jax.numpy as jnp
+
+    from nerve_tpu import training
+    from nerve_tpu.config.schema import TrainingConfig
+    from nerve_tpu.models import SuperResolutionNet
+    from nerve_tpu.utils import data as data_lib
+    from nerve_tpu.utils.checkpoint import CheckpointManager
+
+    key = jax.random.PRNGKey(0)
+    train_data = data_lib.make_sr_dataset(key, 8, lr_size=8, scale=2)
+    val_data = data_lib.make_sr_dataset(key, 4, lr_size=8, scale=2)
+    model = SuperResolutionNet(
+        scale_factor=2, num_features=8, num_residual_blocks=1, temporal_window=1
+    )
+    cfg = TrainingConfig(epochs=2, batch_size=4)
+
+    # Run 1: only the first epoch (simulated interruption after checkpoint).
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep_last_n=2)
+    cfg1 = TrainingConfig(epochs=1, batch_size=4)
+    state1, _ = training.fit_sr(
+        model, train_data, val_data, cfg1, 3, seed=0, ckpt_manager=mgr,
+        log_fn=lambda s: None,
+    )
+    assert mgr.latest_step() == 1
+
+    # Run 2: full 2 epochs with the same manager — must RESUME at epoch 1
+    # (exactly one more epoch of optimizer steps).
+    logs = []
+    state2, _ = training.fit_sr(
+        model, train_data, val_data, cfg, 3, seed=0, ckpt_manager=mgr,
+        log_fn=logs.append,
+    )
+    assert any("resumed from checkpoint at epoch 1" in s for s in logs)
+    assert int(state2.step) == 2 * int(state1.step)
+    assert mgr.latest_step() == 2
+    mgr.close()
