@@ -55,6 +55,10 @@ class EpisodicMemory:
         self._rng = np.random.default_rng(seed)
         self._samples: List[MemorySample] = []
         self.total_seen = 0
+        # Where the most recent kept store landed: ("append",), ("replace", i)
+        # or ("fifo",) — lets subclasses keep parallel metadata (timestamps)
+        # aligned with the sample list across arbitrary-index evictions.
+        self._last_store_op: Optional[Tuple] = None
 
     def __len__(self) -> int:
         return len(self._samples)
@@ -74,11 +78,13 @@ class EpisodicMemory:
             np.asarray(frame_lr), np.asarray(frame_hr), dict(metadata or {}), importance
         )
         self.total_seen += 1
+        self._last_store_op = None
 
         if len(self._samples) < self.capacity:
             if self.strategy == "diversity" and not self._is_diverse(sample):
                 return False
             self._samples.append(sample)
+            self._last_store_op = ("append",)
             return True
 
         return {
@@ -89,11 +95,14 @@ class EpisodicMemory:
             "fifo": self._evict_fifo,
         }[self.strategy](sample)
 
+    def _replace(self, idx: int, sample: MemorySample) -> None:
+        self._samples[idx] = sample
+        self._last_store_op = ("replace", int(idx))
+
     def _evict_reservoir(self, sample: MemorySample) -> bool:
         # Keep-probability capacity/total_seen (parity: memory.py:132-147).
         if self._rng.random() < self.capacity / self.total_seen:
-            idx = self._rng.integers(0, self.capacity)
-            self._samples[idx] = sample
+            self._replace(self._rng.integers(0, self.capacity), sample)
             return True
         return False
 
@@ -113,7 +122,7 @@ class EpisodicMemory:
             for i, s in enumerate(self._samples)
             if s.metadata.get("content_type", "unknown") == largest
         ]
-        self._samples[self._rng.choice(candidates)] = sample
+        self._replace(self._rng.choice(candidates), sample)
         return True
 
     def _evict_importance(self, sample: MemorySample) -> bool:
@@ -121,7 +130,7 @@ class EpisodicMemory:
         imps = np.array([s.importance for s in self._samples])
         idx = int(np.argmin(imps))
         if sample.importance > imps[idx]:
-            self._samples[idx] = sample
+            self._replace(idx, sample)
             return True
         return False
 
@@ -139,12 +148,13 @@ class EpisodicMemory:
     def _evict_diversity(self, sample: MemorySample) -> bool:
         if not self._is_diverse(sample):
             return False
-        self._samples[self._rng.integers(0, self.capacity)] = sample
+        self._replace(self._rng.integers(0, self.capacity), sample)
         return True
 
     def _evict_fifo(self, sample: MemorySample) -> bool:
         self._samples.pop(0)
         self._samples.append(sample)
+        self._last_store_op = ("fifo",)
         return True
 
     # ------------------------------------------------------------------ #
@@ -267,13 +277,25 @@ class StreamingEpisodicMemory(EpisodicMemory):
     def store(self, frame_lr, frame_hr, metadata=None, importance: float = 1.0) -> bool:
         self._clock += 1
         kept = super().store(frame_lr, frame_hr, metadata, importance)
-        # Timestamps track the sample list (rebuild: cheap at these sizes).
-        self._timestamps = self._timestamps[: len(self._samples) - 1] + (
-            [self._clock] if kept else []
-        )
-        if len(self._timestamps) < len(self._samples):
-            self._timestamps += [self._clock] * (len(self._samples) - len(self._timestamps))
+        # Mirror the base class's store operation on the timestamp list so
+        # each slot's timestamp tracks the sample actually living there —
+        # replacement evictions land at arbitrary indices, not the end
+        # (round-1 defect: recency weights attached to the wrong samples).
+        if kept:
+            op = self._last_store_op
+            if op[0] == "append":
+                self._timestamps.append(self._clock)
+            elif op[0] == "replace":
+                self._timestamps[op[1]] = self._clock
+            else:  # fifo: samples shifted down by one, new sample at the end
+                self._timestamps.pop(0)
+                self._timestamps.append(self._clock)
         return kept
+
+    def clear(self) -> None:
+        super().clear()
+        self._timestamps = []
+        self._clock = 0
 
     def sample(self, batch_size: int, content_type: Optional[str] = None):
         if not self._samples:

@@ -130,10 +130,14 @@ class DepthwiseSeparableConv(nn.Module):
         import jax.lax as lax
 
         dn = lax.conv_dimension_numbers(x.shape, kd.shape, ("NHWC", "HWIO", "NHWC"))
+        # torch-style padding=k//2 for every kernel size: explicit symmetric
+        # padding, never XLA "SAME" (which is asymmetric for stride>1 and
+        # would silently diverge from the reference's nn.Conv2d semantics).
+        p = self.kernel_size // 2
         y = lax.conv_general_dilated(
             x.astype(self.dtype), kd.astype(self.dtype),
-            (self.stride, self.stride), [(1, 1), (1, 1)] if self.kernel_size == 3
-            else "SAME", dimension_numbers=dn, feature_group_count=in_ch,
+            (self.stride, self.stride), [(p, p), (p, p)],
+            dimension_numbers=dn, feature_group_count=in_ch,
         )
         dn2 = lax.conv_dimension_numbers(y.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
         y = lax.conv_general_dilated(

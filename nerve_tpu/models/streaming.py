@@ -45,7 +45,7 @@ def streaming_prime(
 
 def streaming_step(
     model: SuperResolutionNet, variables, carry: Carry, new_frame: jnp.ndarray,
-    packed_output: bool = False,
+    output_layout: str = "nhwc",
 ) -> Tuple[Carry, jnp.ndarray]:
     """Feed one new LR frame; emit the SR frame centred ``w`` frames back.
 
@@ -61,7 +61,7 @@ def streaming_step(
     prev = window_feats[:w]
     nxt = window_feats[w + 1 :]
     out = model.apply(
-        variables, prev, center_feat, nxt, lrs[0], packed_output,
+        variables, prev, center_feat, nxt, lrs[0], output_layout,
         method="streaming_step",
     )
     new_carry = tuple(window_feats[1:]) + tuple(lrs[1:] + [new_frame])

@@ -221,6 +221,11 @@ class RDBStack(nn.Module):
     num_layers: int = 5
     dtype: Dtype = jnp.float32
     use_pallas: bool | None = None
+    # int8 serving (the v5e 394-TOPS path): weights/activations int8, f32
+    # epilogues, STATIC activation scales. The pre-quantised chain lives in
+    # the "quant" variable collection — build it with
+    # nerve_tpu.models.quantize.quantize_sr_variables (calibration forward).
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -234,6 +239,20 @@ class RDBStack(nn.Module):
             for b in range(self.num_blocks)
         ]
         x = x.astype(self.dtype)
+        if self.quantized:
+            from nerve_tpu.ops import rdb_int8
+
+            qchain = self.variable(
+                "quant", "qchain",
+                # Structure-valid default (unit act scales) so init works;
+                # real scales come from the calibration pass.
+                lambda: rdb_int8.quantize_rdb_chain(
+                    [[jnp.asarray(p, jnp.float32) for p in prm]
+                     for prm in params_list],
+                    jnp.ones((self.num_blocks, 1 + self.num_layers)),
+                ),
+            )
+            return rdb_int8.rdb_chain_int8_apply(x, qchain.value, out_dtype=x.dtype)
         use_pallas = self.use_pallas
         if self.num_layers != rdb_ops.NUM_LAYERS or self.growth_rate != rdb_ops.GROWTH:
             use_pallas = False
@@ -255,6 +274,7 @@ class SuperResolutionNet(nn.Module):
     num_residual_blocks: int = 8
     temporal_window: int = 1
     flow_downsample: int = 1  # >1: coarse-level flow (serving optimisation)
+    quantized: bool = False  # int8 RDB serving (see RDBStack.quantized)
     dtype: Dtype = jnp.float32
     # Height-sharded inference over a mesh axis (nerve_tpu.parallel.spatial):
     # modules with global statistics (CBAM channel attention) psum over this
@@ -276,7 +296,8 @@ class SuperResolutionNet(nn.Module):
             spatial_axis=self.spatial_axis, spatial_halo=self.spatial_halo,
         )
         self.rdbs = RDBStack(
-            self.num_features, self.num_residual_blocks, dtype=self.dtype
+            self.num_features, self.num_residual_blocks, dtype=self.dtype,
+            quantized=self.quantized,
         )
         self.gff = ConvParams(self.num_features, (3, 3), self.num_features)
         self.upsampler = PixelShuffleUpsampler(
@@ -299,18 +320,23 @@ class SuperResolutionNet(nn.Module):
         center_feat: jnp.ndarray,
         center_lr: jnp.ndarray,
         train: bool = False,
-        packed_output: bool = False,
+        output_layout: str = "nhwc",
     ) -> jnp.ndarray:
-        """Aligned feature list + center LR frame → SR frame (B, sH, sW, C).
+        """Aligned feature list + center LR frame → SR frame.
 
         The shared tail of the batched and streaming paths: attention
         aggregation → RDB stack → global fusion + center skip → pre-shuffle
         residual + phase-channel bicubic base → one depth-to-space.
 
-        ``packed_output=True`` returns (B, sH, sW·C) packed interleaved rows
-        via the Pallas depth-to-space (byte-identical to row-major rank-4;
-        avoids ~26 ms of XLA layout copies at 2160p — see
-        nerve_tpu.ops.pixel_shuffle).
+        ``output_layout`` selects the depth-to-space form (all exact, same
+        bytes — see nerve_tpu.ops.pixel_shuffle):
+          * 'nhwc'   — (B, sH, sW, C); the 3-lane minor dim costs ~10 ms of
+                       XLA layout copies at 2160p. Default for API parity.
+          * 'planar' — (B, C, sH, sW) channel-first (the reference's native
+                       contract); clean layouts, ~0.1-0.5 ms. Serving choice.
+          * 'packed' — (B, sH, sW·C) interleaved packed rows via the MXU
+                       scatter-matmul kernel (~0.4 ms); for raw-byte
+                       consumers (encoders, display buffers).
         """
         aggregated = self.temporal_aggregator(aligned, train)
         residual = self.rdbs(aggregated)
@@ -330,13 +356,21 @@ class SuperResolutionNet(nn.Module):
             bicubic_ch.astype(jnp.float32) + hr_residual_ch.astype(jnp.float32),
             0.0, 1.0,
         )
-        del packed_output  # see nerve_tpu/ops/pixel_shuffle.py — packed-row
-        # epilogues are blocked on Mosaic lane-interleave support.
+        if output_layout == "planar":
+            return ops.pixel_shuffle_planar(
+                out_ch.astype(self.dtype), self.scale_factor
+            )
+        if output_layout == "packed":
+            return ops.depth_to_space_packed(
+                out_ch.astype(self.dtype), self.scale_factor
+            )
+        if output_layout != "nhwc":
+            raise ValueError(f"unknown output_layout {output_layout!r}")
         return ops.pixel_shuffle(out_ch, self.scale_factor)
 
     def streaming_step(self, prev_feats, center_feat, next_feat,
                        center_lr: jnp.ndarray,
-                       packed_output: bool = False) -> jnp.ndarray:
+                       output_layout: str = "nhwc") -> jnp.ndarray:
         """One streaming-video step: cached neighbour features, new next frame.
 
         ``prev_feats``: list of the already-extracted features of frames
@@ -357,7 +391,7 @@ class SuperResolutionNet(nn.Module):
                for i in range(len(next_feat))]
         )
         return self.fuse_from_features(
-            aligned, center_feat, center_lr, packed_output=packed_output
+            aligned, center_feat, center_lr, output_layout=output_layout
         )
 
     def __call__(
@@ -418,14 +452,18 @@ class SuperResolutionNet(nn.Module):
 class LightweightSuperResolution(nn.Module):
     """Single-frame ultra-light SR. Parity: :434-470.
 
-    Input (B, H, W, C); output (B, H·s, W·s, C) in [0, 1].
+    Input (B, H, W, C); output in [0, 1] with layout per ``output_layout``
+    (see SuperResolutionNet.fuse_from_features): 'nhwc' (B, sH, sW, C)
+    default, 'planar' (B, C, sH, sW), 'packed' (B, sH, sW·C).
     """
 
     scale_factor: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, output_layout: str = "nhwc"
+    ) -> jnp.ndarray:
         inp = x.astype(self.dtype)
         y = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="head")(inp))
         for i in range(4):
@@ -435,6 +473,16 @@ class LightweightSuperResolution(nn.Module):
                     dtype=self.dtype, name="tail")(y)
         base_ch = ops.upsample_bicubic_channels(x, self.scale_factor)
         out_ch = jnp.clip(base_ch.astype(jnp.float32) + y.astype(jnp.float32), 0.0, 1.0)
+        if output_layout == "planar":
+            return ops.pixel_shuffle_planar(
+                out_ch.astype(self.dtype), self.scale_factor
+            )
+        if output_layout == "packed":
+            return ops.depth_to_space_packed(
+                out_ch.astype(self.dtype), self.scale_factor
+            )
+        if output_layout != "nhwc":
+            raise ValueError(f"unknown output_layout {output_layout!r}")
         return ops.pixel_shuffle(out_ch, self.scale_factor)
 
 

@@ -7,7 +7,11 @@ pixel shuffle), NERVE-TPU implements them as XLA formulations plus Pallas TPU
 kernels, all in NHWC layout.
 """
 
-from nerve_tpu.ops.pixel_shuffle import pixel_shuffle  # noqa: F401
+from nerve_tpu.ops.pixel_shuffle import (  # noqa: F401
+    depth_to_space_packed,
+    pixel_shuffle,
+    pixel_shuffle_planar,
+)
 from nerve_tpu.ops.resize import (  # noqa: F401
     resize_bicubic,
     resize_bilinear,

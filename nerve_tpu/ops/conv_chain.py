@@ -367,7 +367,9 @@ conv_chain_fused.defvjp(_cc_fwd, _cc_bwd)
 
 
 def _auto_pallas(x: jnp.ndarray) -> bool:
-    return jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16
+    from nerve_tpu.ops.dispatch import pallas_available
+
+    return pallas_available() and x.dtype == jnp.bfloat16
 
 
 def conv_chain_apply(

@@ -190,7 +190,9 @@ def correlation_volume(
         (B, H, W, (2d+1)²) float32 cost volume, normalised by C.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from nerve_tpu.ops.dispatch import pallas_available
+
+        use_pallas = pallas_available()
     if use_pallas:
         return _correlation_tpu(f1, f2, max_displacement)
     return _correlation_xla(f1, f2, max_displacement)

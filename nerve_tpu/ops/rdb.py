@@ -398,7 +398,9 @@ rdb_fused.defvjp(_rdb_fwd, _rdb_bwd)
 def _auto_pallas(x: jnp.ndarray) -> bool:
     # The fused kernel's VMEM budget is tuned for bf16 serving; f32 tiles are
     # 2x larger, so f32 (training/CPU) uses the XLA formulation.
-    return jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16
+    from nerve_tpu.ops.dispatch import pallas_available
+
+    return pallas_available() and x.dtype == jnp.bfloat16
 
 
 def rdb_apply(

@@ -73,6 +73,7 @@ def spatial_sr_apply(
     mesh: Mesh,
     axis: str = "model",
     halo: int = 64,
+    data_axis: Optional[str] = None,
 ):
     """Height-sharded SuperResolutionNet forward over ``mesh[axis]``.
 
@@ -82,14 +83,24 @@ def spatial_sr_apply(
         frames: (B, T, H, W, C) with H divisible by the axis size.
         mesh: mesh containing ``axis``.
         halo: boundary rows exchanged per side (see module docstring).
+        data_axis: optional second mesh axis to shard the BATCH over —
+            combined data×model parallelism (each (data, model) mesh slice
+            handles one batch shard's H-slab). Differentiable end-to-end:
+            shard_map transposes the halo ppermutes / attention psums, so
+            this composes with ``jax.grad`` for training-time use.
 
     Returns:
-        (B, H·s, W·s, C) — identical partitioning to the input (H sharded).
+        (B, H·s, W·s, C) — identical partitioning to the input (H sharded,
+        and B sharded when ``data_axis`` is given).
     """
     n = mesh.shape[axis]
     b, t, h, w, c = frames.shape
     if h % n != 0:
         raise ValueError(f"H={h} not divisible by {axis} axis size {n}")
+    if data_axis is not None and b % mesh.shape[data_axis] != 0:
+        raise ValueError(
+            f"B={b} not divisible by {data_axis} axis size {mesh.shape[data_axis]}"
+        )
     s = model.scale_factor
     halo = min(halo, h // n)
 
@@ -100,8 +111,8 @@ def spatial_sr_apply(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(None, None, axis, None, None)),
-        out_specs=P(None, axis, None, None),
+        in_specs=(P(), P(data_axis, None, axis, None, None)),
+        out_specs=P(data_axis, axis, None, None),
         check_vma=False,
     )
     def run(v, fr):

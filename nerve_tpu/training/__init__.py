@@ -184,22 +184,39 @@ def fit_sr(
     eval_step = make_sr_eval_step(model, mesh)
 
     start_epoch = 0
+    best_psnr = -1.0
     if ckpt_manager is not None and ckpt_manager.latest_step() is not None:
         start_epoch = int(ckpt_manager.latest_step())
         restored = ckpt_manager.restore(
             {"params": state.params, "opt_state": state.opt_state,
-             "batch_stats": state.batch_stats, "step": state.step}
+             "batch_stats": state.batch_stats, "step": state.step,
+             "best_psnr": jnp.float32(best_psnr)}
         )
         state = state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             batch_stats=restored["batch_stats"], step=restored["step"],
         )
-        log_fn(f"resumed from checkpoint at epoch {start_epoch}")
+        best_psnr = float(restored["best_psnr"])
+        log_fn(f"resumed from checkpoint at epoch {start_epoch} (best_psnr={best_psnr:.2f})")
 
     rng = np.random.default_rng(seed + start_epoch)
-    best_psnr = -1.0
     history: Dict[str, float] = {}
     train_loss = val_psnr = float("nan")
+    if start_epoch >= cfg.epochs:
+        # The checkpoint already covers the requested epochs: report real
+        # metrics from one eval pass instead of looping zero times and
+        # emitting NaN history (round-1 advisor finding).
+        log_fn(f"checkpoint epoch {start_epoch} >= cfg.epochs {cfg.epochs}; eval only")
+        val_psnrs = []
+        for batch in data_lib.batches(val_data, cfg.batch_size):
+            lr_win = data_lib.expand_temporal(jnp.asarray(batch["lr"]), num_frames)
+            val_psnrs.append(eval_step(state, lr_win, jnp.asarray(batch["hr"]))["psnr"])
+        val_psnr = float(jnp.mean(jnp.stack(val_psnrs))) if val_psnrs else float("nan")
+        best_psnr = max(best_psnr, val_psnr)
+        history["best_psnr"] = best_psnr
+        history["final_psnr"] = val_psnr
+        history["final_loss"] = float("nan")
+        return state, history
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         losses = []
@@ -224,7 +241,8 @@ def fit_sr(
             ckpt_manager.save(
                 epoch + 1,
                 {"params": state.params, "opt_state": state.opt_state,
-                 "batch_stats": state.batch_stats, "step": state.step},
+                 "batch_stats": state.batch_stats, "step": state.step,
+                 "best_psnr": jnp.float32(best_psnr)},
             )
     history["best_psnr"] = best_psnr
     history["final_psnr"] = val_psnr

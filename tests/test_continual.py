@@ -139,6 +139,33 @@ class TestEpisodicMemory:
         mean_val = batch["lr"].mean()
         assert mean_val > 15.0
 
+    def test_streaming_recency_at_capacity(self):
+        """Timestamps must track the slots replacement-evictions land in.
+
+        Round-1 defect: after a reservoir replacement at index i, the NEW
+        timestamp was appended at the end while slot i kept its stale one, so
+        recency weights attached to the wrong samples. Verify every slot's
+        timestamp matches the value stored in it (values encode store order).
+        """
+        for strategy in ("reservoir", "fifo", "importance", "stratified"):
+            mem = StreamingEpisodicMemory(
+                capacity=8, strategy=strategy, recency_weight=0.95, seed=1
+            )
+            for i in range(64):
+                mem.store(
+                    np.full((2, 2, 1), i, np.float32),
+                    np.full((4, 4, 1), i, np.float32),
+                    {"content_type": "ab"[i % 2]},
+                    importance=float(i),  # monotone so 'importance' always evicts
+                )
+            assert len(mem._timestamps) == len(mem._samples)
+            for ts, s in zip(mem._timestamps, mem._samples):
+                # store i happens at clock i+1
+                assert ts == int(s.frame_lr[0, 0, 0]) + 1, strategy
+            # And the recency-weighted sampler therefore favours late stores.
+            batch = mem.sample(20)
+            assert batch["lr"].mean() > 16.0, strategy
+
 
 # --------------------------------------------------------------------------- #
 # EWC / SI

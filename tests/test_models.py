@@ -105,6 +105,35 @@ class TestSuperResolution:
         # Reference LightweightSuperResolution measures 9,868 params (BASELINE.md).
         assert n_params < 20_000
 
+    def test_output_layouts_equivalent(self, rng):
+        """'planar'/'packed' serving layouts carry the same bytes as 'nhwc'."""
+        x = jnp.asarray(rng.random((1, 3, 8, 8, 3)).astype(np.float32))
+        m = models.SuperResolutionNet(num_features=8, num_residual_blocks=1)
+        variables = m.init(KEY, x)
+
+        def fuse(layout):
+            frames = [
+                m.apply(variables, x[:, i], method="extract_features")
+                for i in range(3)
+            ]
+            return m.apply(
+                variables, frames, frames[1], x[:, 1], False, layout,
+                method="fuse_from_features",
+            )
+
+        nhwc = np.asarray(fuse("nhwc"))
+        planar = np.asarray(fuse("planar"))
+        packed = np.asarray(fuse("packed"))
+        np.testing.assert_allclose(planar, np.moveaxis(nhwc, -1, 1), atol=1e-6)
+        np.testing.assert_allclose(packed, nhwc.reshape(1, 16, 48), atol=1e-6)
+
+        lm = models.LightweightSuperResolution(scale_factor=2)
+        lx = x[:, 0]
+        lv = lm.init(KEY, lx)
+        lnhwc = np.asarray(lm.apply(lv, lx))
+        lplanar = np.asarray(lm.apply(lv, lx, False, "planar"))
+        np.testing.assert_allclose(lplanar, np.moveaxis(lnhwc, -1, 1), atol=1e-6)
+
     def test_gradients_flow_to_all_params(self, rng):
         x = jnp.asarray(rng.random((1, 3, 8, 8, 3)).astype(np.float32))
         y = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))

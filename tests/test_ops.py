@@ -28,6 +28,39 @@ class TestPixelShuffle:
         theirs = _to_nhwc(torch.pixel_shuffle(_nchw(x), scale))
         np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.parametrize("scale", [2, 3])
+    def test_planar_matches_torch(self, rng, scale):
+        """Channel-first d2s == torch.pixel_shuffle's native NCHW output."""
+        x = rng.standard_normal((2, 5, 7, 3 * scale * scale)).astype(np.float32)
+        ours = np.asarray(ops.pixel_shuffle_planar(jnp.asarray(x), scale))
+        theirs = torch.pixel_shuffle(_nchw(x), scale).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("scale", [2, 3])
+    def test_packed_xla_fallback(self, rng, scale):
+        x = rng.standard_normal((1, 8, 8, 3 * scale * scale)).astype(np.float32)
+        got = np.asarray(ops.depth_to_space_packed(jnp.asarray(x), scale))
+        ref = np.asarray(ops.pixel_shuffle(jnp.asarray(x), scale)).reshape(
+            1, 8 * scale, 8 * scale * 3
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("scale", [2, 3])
+    def test_packed_mxu_kernel_interpret(self, rng, scale):
+        """The MXU scatter-matmul kernel is exact (interpret mode on CPU;
+        real-TPU lowering + timing covered by scripts/diag_d2s.py)."""
+        from nerve_tpu.ops.pixel_shuffle import _TW
+
+        x = rng.standard_normal((1, 16, _TW, 3 * scale * scale)).astype(np.float32)
+        got = np.asarray(
+            ops.depth_to_space_packed(jnp.asarray(x), scale, use_pallas=True,
+                                      interpret=True)
+        )
+        ref = np.asarray(ops.pixel_shuffle(jnp.asarray(x), scale)).reshape(
+            1, 16 * scale, _TW * scale * 3
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
 
 class TestResize:
     @pytest.mark.parametrize("scale", [2, 4])

@@ -152,4 +152,14 @@ def test_fit_sr_checkpoint_resume(tmp_path):
     assert any("resumed from checkpoint at epoch 1" in s for s in logs)
     assert int(state2.step) == 2 * int(state1.step)
     assert mgr.latest_step() == 2
+
+    # Run 3: checkpoint already covers cfg.epochs — must NOT loop zero times
+    # and report NaN; instead it evals once and keeps the persisted best_psnr.
+    logs3 = []
+    _, hist3 = training.fit_sr(
+        model, train_data, val_data, cfg, 3, seed=0, ckpt_manager=mgr,
+        log_fn=logs3.append,
+    )
+    assert any("eval only" in s for s in logs3)
+    assert np.isfinite(hist3["best_psnr"]) and np.isfinite(hist3["final_psnr"])
     mgr.close()
