@@ -1,0 +1,74 @@
+"""Post-training int8 quantisation for SuperResolutionNet serving.
+
+Builds the "quant" variable collection consumed by ``RDBStack(quantized=
+True)`` (models/super_resolution.py): a calibration forward captures the
+RDB chain's input (the temporal aggregator's output) on representative
+frames, derives static per-tensor activation scales, and pre-quantises the
+packed int8 weights (nerve_tpu.ops.rdb_int8).
+
+Usage::
+
+    model  = SuperResolutionNet(..., quantized=True)
+    # variables: trained f32 variables of the SAME architecture
+    variables_q = quantize_sr_variables(model, variables, calib_frames)
+    out = model.apply(variables_q, frames)        # int8 RDB chain
+
+No reference analogue (nerve_cl serves f32 torch); this is the TPU v5e
+394-TOPS serving path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from nerve_tpu.ops import rdb_int8
+
+
+def rdb_params_from_tree(rdbs_params: Dict[str, Any], num_blocks: int,
+                         num_layers: int = 5):
+    """variables["params"]["rdbs"] → per-block flat param lists (f32)."""
+    out = []
+    for b in range(num_blocks):
+        prm = []
+        for i in range(num_layers):
+            prm.append(jnp.asarray(rdbs_params[f"rdb{b}_dense{i}_kernel"], jnp.float32))
+            prm.append(jnp.asarray(rdbs_params[f"rdb{b}_dense{i}_bias"], jnp.float32))
+        prm.append(jnp.asarray(rdbs_params[f"rdb{b}_lff_kernel"], jnp.float32))
+        prm.append(jnp.asarray(rdbs_params[f"rdb{b}_lff_bias"], jnp.float32))
+        out.append(prm)
+    return out
+
+
+def calibrate_sr_scales(model, variables, frames) -> jnp.ndarray:
+    """Run a calibration forward and return (num_blocks, 6) act scales.
+
+    ``frames``: representative LR windows (B, T, H, W, C) — a handful of
+    real frames is enough for per-tensor max-abs calibration.
+    """
+    cal_model = model.clone(quantized=False)
+    cal_vars = {k: v for k, v in variables.items() if k != "quant"}
+    _, inter = cal_model.apply(
+        cal_vars, jnp.asarray(frames),
+        capture_intermediates=lambda mdl, _: mdl.name == "temporal_aggregator",
+        mutable=["intermediates"],
+    )
+    agg = inter["intermediates"]["temporal_aggregator"]["__call__"][0]
+    params_list = rdb_params_from_tree(
+        variables["params"]["rdbs"], model.num_residual_blocks
+    )
+    return rdb_int8.calibrate_rdb_chain(agg.astype(jnp.float32), params_list)
+
+
+def quantize_sr_variables(model, variables, frames) -> Dict[str, Any]:
+    """f32 variables + calibration frames → variables with the quant
+    collection (pre-quantised int8 chain). See module docstring."""
+    scales = calibrate_sr_scales(model, variables, frames)
+    params_list = rdb_params_from_tree(
+        variables["params"]["rdbs"], model.num_residual_blocks
+    )
+    qchain = rdb_int8.quantize_rdb_chain(params_list, scales)
+    out = {k: v for k, v in variables.items() if k != "quant"}
+    out["quant"] = {"rdbs": {"qchain": qchain}}
+    return out

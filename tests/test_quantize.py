@@ -1,0 +1,70 @@
+"""Model-level int8 serving path: calibration, variables, forward quality."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerve_tpu.models import SuperResolutionNet
+from nerve_tpu.models.quantize import calibrate_sr_scales, quantize_sr_variables
+from nerve_tpu.models.streaming import streaming_prime, streaming_step
+
+
+def _small_model(**kw):
+    return SuperResolutionNet(
+        scale_factor=2, num_features=32, num_residual_blocks=2,
+        temporal_window=1, **kw,
+    )
+
+
+class TestQuantizedSR:
+    def test_quantized_forward_tracks_f32(self):
+        model = _small_model()
+        qmodel = _small_model(quantized=True)
+        key = jax.random.PRNGKey(0)
+        frames = jax.random.uniform(key, (1, 3, 16, 24, 3))
+        variables = model.init(jax.random.PRNGKey(1), frames)
+
+        ref = model.apply(variables, frames)
+        variables_q = quantize_sr_variables(qmodel, variables, frames)
+        out = qmodel.apply(variables_q, frames)
+
+        assert out.shape == ref.shape
+        # Output is clamped [0,1]; int8 RDB quantisation error stays small
+        # relative to that range (headline gate: PSNR delta on eval_parity).
+        err = float(jnp.max(jnp.abs(out - ref)))
+        assert err < 0.05, f"max abs err {err}"
+        psnr_like = -10 * np.log10(float(jnp.mean((out - ref) ** 2)) + 1e-12)
+        assert psnr_like > 35, f"quantisation 'PSNR' vs f32 only {psnr_like:.1f} dB"
+
+    def test_scales_shape(self):
+        model = _small_model(quantized=True)
+        frames = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 16, 24, 3))
+        variables = model.clone(quantized=False).init(jax.random.PRNGKey(1), frames)
+        scales = calibrate_sr_scales(model, variables, frames)
+        assert scales.shape == (2, 6)
+        assert bool(jnp.all(scales > 0))
+
+    def test_streaming_with_quant_collection(self):
+        """The quant collection flows through the streaming methods."""
+        model = _small_model(quantized=True)
+        key = jax.random.PRNGKey(0)
+        frames = jax.random.uniform(key, (1, 3, 16, 24, 3))
+        variables = model.clone(quantized=False).init(jax.random.PRNGKey(1), frames)
+        variables_q = quantize_sr_variables(model, variables, frames)
+
+        carry = streaming_prime(model, variables_q, frames[:, 0])
+        carry, out = streaming_step(model, variables_q, carry, frames[:, 1])
+        assert out.shape == (1, 32, 48, 3)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_init_creates_default_quant_collection(self):
+        model = _small_model(quantized=True)
+        frames = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 16, 24, 3))
+        variables = model.init(jax.random.PRNGKey(1), frames)
+        assert "quant" in variables
+        qchain = variables["quant"]["rdbs"]["qchain"]
+        assert len(qchain) == 2
+        wq, dq, meta = qchain[0]
+        assert wq[0].dtype == jnp.int8 and dq.shape == (5, 288)
