@@ -26,6 +26,13 @@ Negative results (measured at 1080p×64ch bf16, v5e — do not retry blindly):
     the g× gather-issue saving. Any dense bounded-tap formulation (Pallas
     residual taps included) has the same FMA blowup.
   * f32 patch tensors: +22 ms (keep everything in the feature dtype).
+  * An in-VMEM Pallas gather kernel (row-band DMA + per-pixel loads) is NOT
+    expressible: Mosaic's only dynamic addressing is scalar-start slices
+    (pl.ds) — there is no per-lane vector gather — so per-pixel (y, x)
+    indexing degenerates to the dense bounded-tap formulation above, which
+    loses. The XLA 4-tap patch gather (~17 ns/row issue rate, ≈35 ms/frame
+    of pure gather at 1080p×64ch) stands as the accepted floor for EXACT
+    grid_sample semantics; revisit only if Mosaic grows a gather primitive.
 """
 
 from __future__ import annotations

@@ -93,12 +93,173 @@ def ssim(
 
 
 def temporal_of(pred_video: jnp.ndarray, target_video: jnp.ndarray) -> jnp.ndarray:
-    """tOF proxy: mean abs difference of temporal gradients.
+    """Cheap tOF proxy: mean abs difference of temporal gradients.
 
     Measures temporal-consistency error between consecutive frames —
     the 'tOF' entry of the reference's declared metric suite
-    (default.yaml:201-203). Inputs: (B, T, H, W, C).
+    (default.yaml:201-203). Inputs: (B, T, H, W, C). For the actual
+    flow-based tOF see :func:`tof`.
     """
     dp = pred_video[:, 1:] - pred_video[:, :-1]
     dt = target_video[:, 1:] - target_video[:, :-1]
     return jnp.mean(jnp.abs(dp.astype(jnp.float32) - dt.astype(jnp.float32)))
+
+
+# --------------------------------------------------------------------------- #
+# Flow-based temporal metrics (tOF / tLP)
+#
+# The reference DECLARES tOF / tLP / VMAF-proxy in its metric suite
+# (nerve_cl/config/default.yaml:194-207) but never implements them. Here they
+# are real, self-contained, and jittable: tOF compares pyramidal Lucas-Kanade
+# flow fields of consecutive output vs ground-truth frames (the standard tOF
+# definition, Chu et al. 2020), and tLP compares the frame-to-frame
+# perceptual change using 1−SSIM as the LPIPS stand-in (no pretrained
+# network is available in this environment; the proxy choice is documented
+# in the docstring and monotone in the same flicker artefacts).
+# --------------------------------------------------------------------------- #
+def _to_gray(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, C) → (..., H, W) luminance (Rec. 601 for 3 channels)."""
+    x = x.astype(jnp.float32)
+    if x.shape[-1] == 3:
+        w = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+        return jnp.einsum("...c,c->...", x, w)
+    return jnp.mean(x, axis=-1)
+
+
+def _box(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Separable box filter over the trailing two axes of (B, H, W)."""
+    k = 2 * radius + 1
+    kern = jnp.ones((k,), jnp.float32) / 1.0  # plain sum (LK normal equations)
+    pad = [(0, 0), (radius, radius), (0, 0)]
+    xp = jnp.pad(x, pad)
+    x = lax.conv_general_dilated(
+        xp[:, :, :, None], kern[:, None, None, None], (1, 1), "VALID",
+        dimension_numbers=lax.conv_dimension_numbers(
+            xp[:, :, :, None].shape, (k, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
+        ),
+    )[:, :, :, 0]
+    xp = jnp.pad(x, [(0, 0), (0, 0), (radius, radius)])
+    return lax.conv_general_dilated(
+        xp[:, :, :, None], kern[None, :, None, None], (1, 1), "VALID",
+        dimension_numbers=lax.conv_dimension_numbers(
+            xp[:, :, :, None].shape, (1, k, 1, 1), ("NHWC", "HWIO", "NHWC")
+        ),
+    )[:, :, :, 0]
+
+
+def _lk_level(i1: jnp.ndarray, i2: jnp.ndarray, flow: jnp.ndarray,
+              radius: int) -> jnp.ndarray:
+    """One Lucas-Kanade refinement at the current scale.
+
+    i1/i2: (B, H, W) grayscale; flow: (B, H, W, 2) current estimate (dx, dy).
+    Warps i2 by the estimate, then solves the 2×2 normal equations per pixel
+    over a (2r+1)² window.
+    """
+    from nerve_tpu.ops.warp import flow_warp
+
+    i2w = flow_warp(i2[..., None], flow, chunk_rows=0)[..., 0]
+    ix = (jnp.roll(i1, -1, axis=2) - jnp.roll(i1, 1, axis=2)) * 0.5
+    iy = (jnp.roll(i1, -1, axis=1) - jnp.roll(i1, 1, axis=1)) * 0.5
+    it = i2w - i1
+
+    sxx = _box(ix * ix, radius)
+    sxy = _box(ix * iy, radius)
+    syy = _box(iy * iy, radius)
+    sxt = _box(ix * it, radius)
+    syt = _box(iy * it, radius)
+
+    det = sxx * syy - sxy * sxy
+    ok = det > 1e-6
+    det = jnp.where(ok, det, 1.0)
+    du = jnp.where(ok, -(syy * sxt - sxy * syt) / det, 0.0)
+    dv = jnp.where(ok, -(sxx * syt - sxy * sxt) / det, 0.0)
+    return flow + jnp.stack([du, dv], axis=-1)
+
+
+def lucas_kanade_flow(
+    frame1: jnp.ndarray, frame2: jnp.ndarray,
+    levels: int = 3, radius: int = 3, iters: int = 2,
+) -> jnp.ndarray:
+    """Pyramidal Lucas-Kanade optical flow, pure JAX (jittable).
+
+    Args:
+        frame1/frame2: (B, H, W, C) in [0, 1]; flow maps frame1 → frame2
+            sample positions (same convention as ops.warp.flow_warp:
+            frame1(y, x) ≈ frame2(y + dy, x + dx)).
+        levels: pyramid levels (coarse-to-fine, 2× per level).
+        radius: LK window radius at every level.
+        iters: refinement iterations per level.
+
+    Returns:
+        (B, H, W, 2) flow in pixels (dx, dy).
+    """
+    from nerve_tpu.ops.resize import resize_bilinear
+
+    g1 = _to_gray(frame1)
+    g2 = _to_gray(frame2)
+    b, h, w = g1.shape
+    # Don't pyramid below ~32 px — coarse levels on tiny images destabilise
+    # the estimate instead of extending its range.
+    max_levels = 1
+    while min(h, w) // (2 ** max_levels) >= 32 and max_levels < levels:
+        max_levels += 1
+    levels = max_levels
+
+    pyramid = []
+    l1, l2 = g1, g2
+    for lvl in range(levels):
+        pyramid.append((l1, l2))
+        if lvl < levels - 1:
+            nh, nw = max(l1.shape[1] // 2, 8), max(l1.shape[2] // 2, 8)
+            l1 = resize_bilinear(l1[..., None], (nh, nw))[..., 0]
+            l2 = resize_bilinear(l2[..., None], (nh, nw))[..., 0]
+
+    flow = jnp.zeros(pyramid[-1][0].shape + (2,), jnp.float32)
+    for l1, l2 in reversed(pyramid):
+        if flow.shape[1:3] != l1.shape[1:3]:
+            scale_y = l1.shape[1] / flow.shape[1]
+            scale_x = l1.shape[2] / flow.shape[2]
+            flow = resize_bilinear(flow, l1.shape[1:3]) * jnp.array(
+                [scale_x, scale_y], jnp.float32
+            )
+        for _ in range(iters):
+            flow = _lk_level(l1, l2, flow, radius)
+    return flow
+
+
+def tof(pred_video: jnp.ndarray, target_video: jnp.ndarray,
+        levels: int = 3, radius: int = 3) -> jnp.ndarray:
+    """tOF: mean |flow(pred_t→t+1) − flow(target_t→t+1)| in pixels.
+
+    The standard temporal-consistency metric for video SR (declared but
+    unimplemented in the reference, default.yaml:201). Lower is better; a
+    temporally stable output whose motion matches the ground truth scores 0.
+    Inputs: (B, T, H, W, C) in [0, 1].
+    """
+    t = pred_video.shape[1]
+    total = jnp.float32(0)
+    for i in range(t - 1):
+        fp = lucas_kanade_flow(pred_video[:, i], pred_video[:, i + 1],
+                               levels=levels, radius=radius)
+        ft = lucas_kanade_flow(target_video[:, i], target_video[:, i + 1],
+                               levels=levels, radius=radius)
+        total = total + jnp.mean(jnp.abs(fp - ft))
+    return total / max(t - 1, 1)
+
+
+def tlp(pred_video: jnp.ndarray, target_video: jnp.ndarray) -> jnp.ndarray:
+    """tLP proxy: |d(pred_t, pred_t+1) − d(target_t, target_t+1)|, d = 1−SSIM.
+
+    The tLP metric (default.yaml:202) uses LPIPS as d; no pretrained
+    perceptual network exists in this environment, so d is the structural
+    dissimilarity 1−SSIM — like LPIPS it is a full-reference perceptual
+    distance that grows under the flicker/texture-crawl artefacts tLP is
+    meant to expose. Lower is better. Inputs: (B, T, H, W, C).
+    """
+    t = pred_video.shape[1]
+    total = jnp.float32(0)
+    for i in range(t - 1):
+        dp = 1.0 - ssim(pred_video[:, i], pred_video[:, i + 1])
+        dt = 1.0 - ssim(target_video[:, i], target_video[:, i + 1])
+        total = total + jnp.abs(dp - dt)
+    return total / max(t - 1, 1)
