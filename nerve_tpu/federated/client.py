@@ -53,7 +53,12 @@ class VideoEnhancementClient:
         self.val_data = val_data if val_data is not None else train_data
         self.num_frames = num_frames
         self.local_epochs = local_epochs
-        self.batch_size = batch_size
+        # Clamp to the smaller local split so tiny clients still train/eval:
+        # batches() drops partial batches (fixed shapes for the jitted
+        # steps), and a split smaller than the batch size would otherwise
+        # yield ZERO batches and nan metrics.
+        sizes = [len(d["lr"]) for d in (train_data, val_data) if d is not None]
+        self.batch_size = max(1, min([batch_size] + sizes))
         self._rng = np.random.default_rng(seed)
 
         def prep(lr: jnp.ndarray) -> jnp.ndarray:
