@@ -60,6 +60,10 @@ class EngineConfig:
     sr_temporal_window: int = 1
 
     use_lightweight_sr: bool = False
+    # int8 RDB serving for the full SR net (nerve_tpu.ops.rdb_int8). Needs
+    # the "quant" collection built by models.quantize.quantize_sr_variables
+    # (pass frames through the engine's SR sub-window for calibration).
+    sr_quantized: bool = False
     enhancement_mode: str = "sequential"
 
     def with_mode(self, mode: str) -> "EngineConfig":
@@ -150,6 +154,7 @@ class EnhancementEngine(nn.Module):
                     num_features=cfg.sr_num_features,
                     num_residual_blocks=cfg.sr_num_residual_blocks,
                     temporal_window=sw,
+                    quantized=cfg.sr_quantized,
                     dtype=self.dtype,
                     name="super_resolution",
                 )

@@ -72,3 +72,36 @@ def quantize_sr_variables(model, variables, frames) -> Dict[str, Any]:
     out = {k: v for k, v in variables.items() if k != "quant"}
     out["quant"] = {"rdbs": {"qchain": qchain}}
     return out
+
+
+def quantize_engine_variables(engine, variables, frames,
+                              corruption_mask=None) -> Dict[str, Any]:
+    """EnhancementEngine analogue of :func:`quantize_sr_variables`.
+
+    ``engine``: an EnhancementEngine whose config has ``sr_quantized=True``
+    (and the full SR net enabled). ``frames``: (B, T, H, W, C) calibration
+    windows run through the whole engine pipeline so the RDB chain sees its
+    true input distribution (post-recovery, post-aggregation).
+    """
+    import dataclasses
+
+    cal_cfg = dataclasses.replace(engine.config, sr_quantized=False)
+    cal_engine = engine.clone(config=cal_cfg)
+    cal_vars = {k: v for k, v in variables.items() if k != "quant"}
+    _, inter = cal_engine.apply(
+        cal_vars, jnp.asarray(frames), None, corruption_mask,
+        capture_intermediates=lambda mdl, _: mdl.name == "temporal_aggregator",
+        mutable=["intermediates"],
+    )
+    agg = inter["intermediates"]["super_resolution"]["temporal_aggregator"][
+        "__call__"
+    ][0]
+    params_list = rdb_params_from_tree(
+        variables["params"]["super_resolution"]["rdbs"],
+        engine.config.sr_num_residual_blocks,
+    )
+    scales = rdb_int8.calibrate_rdb_chain(agg.astype(jnp.float32), params_list)
+    qchain = rdb_int8.quantize_rdb_chain(params_list, scales)
+    out = {k: v for k, v in variables.items() if k != "quant"}
+    out["quant"] = {"super_resolution": {"rdbs": {"qchain": qchain}}}
+    return out

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Real-hardware Pallas kernel gate: every fused kernel vs its XLA oracle.
+
+CI runs the kernels in interpret mode only (CPU hosts), so a Mosaic lowering
+or layout regression would otherwise surface only at bench time. This script
+is the scripted gate for TPU runs (VERDICT round 1, weak #6): small-shape
+parity checks of every Pallas kernel against the XLA formulation, ON THE
+ACTUAL CHIP, exiting non-zero on any failure.
+
+Run on the TPU host (≈2-4 min of Mosaic compiles on first run):
+    python scripts/tpu_gate.py
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+FAILURES = []
+
+
+def check(name, err, tol):
+    ok = err <= tol
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: err={err:.3e} (tol {tol:.1e})")
+    if not ok:
+        FAILURES.append(name)
+
+
+def main() -> int:
+    if jax.default_backend() != "tpu":
+        print("tpu_gate: default backend is not TPU; nothing to gate", flush=True)
+        return 0
+    key = jax.random.PRNGKey(0)
+
+    # ---- fused RDB (bf16) ------------------------------------------------ #
+    from nerve_tpu.ops import rdb as rdb_ops
+
+    feats = 64
+    params = []
+    cin = feats
+    for i in range(5):
+        k1, k2, key = jax.random.split(key, 3)
+        params += [jax.random.normal(k1, (3, 3, cin, 32)) * 0.08,
+                   jax.random.normal(k2, (32,)) * 0.02]
+        cin += 32
+    k1, k2, key = jax.random.split(key, 3)
+    params += [jax.random.normal(k1, (cin, feats)) * 0.08,
+               jax.random.normal(k2, (feats,)) * 0.02]
+    params_b = [p.astype(jnp.bfloat16) for p in params]
+    x = (jax.random.normal(key, (1, 64, 256, feats)) * 0.5).astype(jnp.bfloat16)
+    ref = rdb_ops._rdb_xla(x, params_b).astype(jnp.float32)
+    got = rdb_ops.rdb_fused(x, tuple(params_b)).astype(jnp.float32)
+    scale = float(jnp.max(jnp.abs(ref)))
+    check("rdb_bf16_vs_xla", float(jnp.max(jnp.abs(got - ref))), 4 * 2.0**-8 * scale)
+
+    # ---- int8 RDB chain --------------------------------------------------- #
+    from nerve_tpu.ops import rdb_int8
+
+    xf = x.astype(jnp.float32)
+    scales = rdb_int8.calibrate_rdb_chain(xf, [params])
+    qchain = rdb_int8.quantize_rdb_chain([params], scales)
+    refq = rdb_int8.rdb_chain_int8_xla(xf, qchain, out_dtype=jnp.float32)
+    gotq = rdb_int8.rdb_chain_int8_pallas(xf, qchain, out_dtype=jnp.float32)
+    check("rdb_int8_vs_xla_int8",
+          float(jnp.max(jnp.abs(gotq - refq))), 1e-3)
+
+    # ---- fused conv chain (bf16) ------------------------------------------ #
+    from nerve_tpu.ops import conv_chain as cc
+
+    k1, k2, k3, key = jax.random.split(key, 4)
+    chain = [
+        (jax.random.normal(k1, (3, 3, 8, 8)) * 0.1, jnp.zeros((8,)), "relu"),
+        (jax.random.normal(k2, (3, 3, 8, 8)) * 0.1, jnp.zeros((8,)), "relu"),
+        (jax.random.normal(k3, (1, 1, 8, 3)) * 0.1, jnp.zeros((3,)), "none"),
+    ]
+    xc = (jax.random.normal(key, (1, 32, 144, 8)) * 0.5).astype(jnp.bfloat16)
+    ws = tuple(p[0].astype(jnp.bfloat16) for p in chain)
+    bs = tuple(p[1].astype(jnp.bfloat16) for p in chain)
+    acts = tuple(p[2] for p in chain)
+    refc = cc._chain_xla(xc.astype(jnp.float32),
+                         tuple(w.astype(jnp.float32) for w in ws),
+                         tuple(b.astype(jnp.float32) for b in bs), acts)
+    gotc = cc.conv_chain_apply(
+        xc, [(w, b, a) for w, b, a in zip(ws, bs, acts)], use_pallas=True
+    ).astype(jnp.float32)
+    scale_c = float(jnp.max(jnp.abs(refc)))
+    check("conv_chain_bf16_vs_xla_f32",
+          float(jnp.max(jnp.abs(gotc - refc))), 4 * 2.0**-8 * max(scale_c, 1.0))
+
+    # ---- MXU packed depth-to-space ---------------------------------------- #
+    from nerve_tpu.ops import pixel_shuffle as ps
+
+    key, k1 = jax.random.split(key)
+    xd = (jax.random.uniform(k1, (1, 64, 128, 12))).astype(jnp.bfloat16)
+    refd = ps.depth_to_space_packed(xd, 2, use_pallas=False).astype(jnp.float32)
+    gotd = ps.depth_to_space_packed(xd, 2, use_pallas=True).astype(jnp.float32)
+    check("d2s_packed_mxu_vs_reshape", float(jnp.max(jnp.abs(gotd - refd))), 0.0)
+
+    # ---- correlation volume ----------------------------------------------- #
+    from nerve_tpu.ops.correlation import correlation_volume
+
+    key, k1, k2 = jax.random.split(key, 3)
+    f1 = (jax.random.normal(k1, (1, 32, 128, 32)) * 0.3).astype(jnp.bfloat16)
+    f2 = (jax.random.normal(k2, (1, 32, 128, 32)) * 0.3).astype(jnp.bfloat16)
+    refv = correlation_volume(f1, f2, 3, use_pallas=False)
+    gotv = correlation_volume(f1, f2, 3, use_pallas=True)
+    scale_v = float(jnp.max(jnp.abs(refv)))
+    check("correlation_vs_xla",
+          float(jnp.max(jnp.abs(gotv - refv))), 16 * 2.0**-8 * max(scale_v, 1e-3))
+
+    # ---- end-to-end invariant: untrained lightweight == bicubic ----------- #
+    from nerve_tpu.models import LightweightSuperResolution
+    from nerve_tpu.ops import upsample_bicubic
+
+    model = LightweightSuperResolution(scale_factor=2, dtype=jnp.bfloat16)
+    key, k1 = jax.random.split(key)
+    frame = jax.random.uniform(k1, (1, 200, 304, 3), jnp.float32)
+    variables = jax.jit(model.init)(key, frame)
+    out = model.apply(variables, frame).astype(jnp.float32)
+    bic = jnp.clip(upsample_bicubic(frame, 2), 0.0, 1.0)
+    # zero-init residual head → output is exactly the clipped bicubic base
+    # (computed in f32 on both sides; the model casts its output to bf16).
+    check("lightweight_untrained_equals_bicubic",
+          float(jnp.max(jnp.abs(out - bic))), 2.0**-8)
+
+    print(f"\ntpu_gate: {len(FAILURES)} failure(s)")
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

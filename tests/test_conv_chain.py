@@ -49,6 +49,31 @@ class TestConvChain:
             tiled = cc._chain_pallas(x, ws, bs, acts, th=8, tw=16)
         np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=2e-6)
 
+    def test_bf16_error_bounded_vs_f32(self, rng):
+        """bf16 serving parity bound (round-1 advisor finding): the fused
+        chain's per-dy partial sums round to bf16 before the f32 tap
+        accumulate, adding rounding vs XLA's fully-f32-accumulated conv.
+        Bound that error on bf16 inputs: |fused_bf16 − xla_f32| must stay
+        within a few bf16 ulps of the activation scale."""
+        x32 = jnp.asarray(rng.standard_normal((1, 16, 18, 8)).astype(np.float32)) * 0.5
+        params = [(*_mk(rng, 3, 8, 8), "relu"), (*_mk(rng, 3, 8, 8), "relu"),
+                  (*_mk(rng, 3, 8, 8), "none")]
+        ws = tuple(p[0] for p in params)
+        bs = tuple(p[1] for p in params)
+        acts = ("relu", "relu", "none")
+        ref = cc._chain_xla(x32, ws, bs, acts)
+
+        xb = x32.astype(jnp.bfloat16)
+        params_b = [(w.astype(jnp.bfloat16), b.astype(jnp.bfloat16), a)
+                    for w, b, a in params]
+        with pltpu.force_tpu_interpret_mode():
+            got = cc.conv_chain_apply(xb, params_b, use_pallas=True)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)))
+        scale = float(jnp.max(jnp.abs(ref)))
+        # bf16 eps = 2^-8; three chained layers with bf16 operands and
+        # bf16 partial-sum rounding stay within ~4 eps of the f32 oracle.
+        assert err <= 4 * (2.0 ** -8) * max(scale, 1.0), (err, scale)
+
     def test_mixed_1x1_and_small_output(self, rng):
         x = jnp.asarray(rng.standard_normal((2, 12, 14, 6)).astype(np.float32)) * 0.5
         params = [(*_mk(rng, 1, 6, 16), "relu"), (*_mk(rng, 3, 16, 2), "none")]

@@ -59,6 +59,28 @@ class TestQuantizedSR:
         assert out.shape == (1, 32, 48, 3)
         assert bool(jnp.all(jnp.isfinite(out)))
 
+    def test_engine_quantized_path(self):
+        """EnhancementEngine with sr_quantized: calibrate through the whole
+        pipeline, then forward with the int8 RDB chain."""
+        import dataclasses
+
+        from nerve_tpu.models.enhancement_engine import EngineConfig, EnhancementEngine
+        from nerve_tpu.models.quantize import quantize_engine_variables
+
+        cfg = EngineConfig(
+            frame_recovery_enabled=False, sr_num_features=32,
+            sr_num_residual_blocks=2, sr_temporal_window=1,
+        )
+        engine = EnhancementEngine(dataclasses.replace(cfg, sr_quantized=True))
+        frames = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 16, 24, 3))
+        variables = EnhancementEngine(cfg).init(jax.random.PRNGKey(1), frames)
+        ref = EnhancementEngine(cfg).apply(variables, frames)["enhanced"]
+
+        variables_q = quantize_engine_variables(engine, variables, frames)
+        out = engine.apply(variables_q, frames)["enhanced"]
+        assert out.shape == ref.shape
+        assert float(jnp.max(jnp.abs(out - ref))) < 0.05
+
     def test_init_creates_default_quant_collection(self):
         model = _small_model(quantized=True)
         frames = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 16, 24, 3))
