@@ -21,9 +21,18 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 
 from nerve_tpu.ops import rdb_int8
+
+
+@jax.jit
+def _calibrate_and_quantize(agg, params_list):
+    """One jitted program for scale calibration + weight quantisation —
+    eagerly this is ~100 tiny dispatches, painful on tunneled TPU setups."""
+    scales = rdb_int8.calibrate_rdb_chain(agg, params_list)
+    return scales, rdb_int8.quantize_rdb_chain(params_list, scales)
 
 
 def rdb_params_from_tree(rdbs_params: Dict[str, Any], num_blocks: int,
@@ -64,11 +73,18 @@ def calibrate_sr_scales(model, variables, frames) -> jnp.ndarray:
 def quantize_sr_variables(model, variables, frames) -> Dict[str, Any]:
     """f32 variables + calibration frames → variables with the quant
     collection (pre-quantised int8 chain). See module docstring."""
-    scales = calibrate_sr_scales(model, variables, frames)
+    cal_model = model.clone(quantized=False)
+    cal_vars = {k: v for k, v in variables.items() if k != "quant"}
+    _, inter = cal_model.apply(
+        cal_vars, jnp.asarray(frames),
+        capture_intermediates=lambda mdl, _: mdl.name == "temporal_aggregator",
+        mutable=["intermediates"],
+    )
+    agg = inter["intermediates"]["temporal_aggregator"]["__call__"][0]
     params_list = rdb_params_from_tree(
         variables["params"]["rdbs"], model.num_residual_blocks
     )
-    qchain = rdb_int8.quantize_rdb_chain(params_list, scales)
+    _, qchain = _calibrate_and_quantize(agg.astype(jnp.float32), params_list)
     out = {k: v for k, v in variables.items() if k != "quant"}
     out["quant"] = {"rdbs": {"qchain": qchain}}
     return out
@@ -100,8 +116,7 @@ def quantize_engine_variables(engine, variables, frames,
         variables["params"]["super_resolution"]["rdbs"],
         engine.config.sr_num_residual_blocks,
     )
-    scales = rdb_int8.calibrate_rdb_chain(agg.astype(jnp.float32), params_list)
-    qchain = rdb_int8.quantize_rdb_chain(params_list, scales)
+    _, qchain = _calibrate_and_quantize(agg.astype(jnp.float32), params_list)
     out = {k: v for k, v in variables.items() if k != "quant"}
     out["quant"] = {"super_resolution": {"rdbs": {"qchain": qchain}}}
     return out

@@ -64,10 +64,19 @@ def main() -> int:
     from nerve_tpu.ops import rdb_int8
 
     xf = x.astype(jnp.float32)
-    scales = rdb_int8.calibrate_rdb_chain(xf, [params])
-    qchain = rdb_int8.quantize_rdb_chain([params], scales)
-    refq = rdb_int8.rdb_chain_int8_xla(xf, qchain, out_dtype=jnp.float32)
-    gotq = rdb_int8.rdb_chain_int8_pallas(xf, qchain, out_dtype=jnp.float32)
+    # One jitted program for the whole calibrate+quantise prep: eager
+    # execution would dispatch ~100 tiny ops through the tunnel.
+    qchain = jax.jit(
+        lambda xx: rdb_int8.quantize_rdb_chain(
+            [params], rdb_int8.calibrate_rdb_chain(xx, [params])
+        )
+    )(xf)
+    refq = jax.jit(
+        lambda xx: rdb_int8.rdb_chain_int8_xla(xx, qchain, out_dtype=jnp.float32)
+    )(xf)
+    gotq = jax.jit(
+        lambda xx: rdb_int8.rdb_chain_int8_pallas(xx, qchain, out_dtype=jnp.float32)
+    )(xf)
     check("rdb_int8_vs_xla_int8",
           float(jnp.max(jnp.abs(gotq - refq))), 1e-3)
 
@@ -95,7 +104,11 @@ def main() -> int:
           float(jnp.max(jnp.abs(gotc - refc))), 4 * 2.0**-8 * max(scale_c, 1.0))
 
     # ---- MXU packed depth-to-space ---------------------------------------- #
-    from nerve_tpu.ops import pixel_shuffle as ps
+    # ops.__init__ re-exports the pixel_shuffle FUNCTION under the same name
+    # as the submodule, so attribute-style imports resolve to the function.
+    import importlib
+
+    ps = importlib.import_module("nerve_tpu.ops.pixel_shuffle")
 
     key, k1 = jax.random.split(key)
     xd = (jax.random.uniform(k1, (1, 64, 128, 12))).astype(jnp.bfloat16)

@@ -46,9 +46,10 @@ class TestGraftEntry:
             for k, v in os.environ.items()
             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
         }
-        # Keep the driver's conditions but avoid touching real TPU hardware
-        # from inside the test suite (the tunnel serializes compiles).
-        env["JAX_PLATFORMS"] = "cpu"
+        # No platform override at all: dryrun_multichip itself must pin the
+        # CPU platform (binding config update — the axon PJRT plugin ignores
+        # the JAX_PLATFORMS env var, and enumerating a wedged tunneled TPU
+        # blocks forever).
         res = subprocess.run(
             [
                 sys.executable,
