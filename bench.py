@@ -45,7 +45,12 @@ import jax.numpy as jnp
 from nerve_tpu.models import LightweightSuperResolution
 
 
-def main() -> None:
+def run_lightweight_bench() -> dict:
+    """Measure the lightweight serving config; returns the result record.
+
+    Shared with bench_suite.py (its config-#1 lightweight row) so the
+    methodology lives in exactly one place.
+    """
     on_tpu = jax.default_backend() == "tpu"
     h, w = (1080, 1920) if on_tpu else (72, 128)
     n_frames = 32 if on_tpu else 2
@@ -88,13 +93,16 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
 
     fps = n_frames / best
-    result = {
+    return {
         "metric": "sr_lightweight_1080p_2x_fps" if on_tpu else "sr_proxy_fps_cpu",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 60.0, 4),
     }
-    print(json.dumps(result))
+
+
+def main() -> None:
+    print(json.dumps(run_lightweight_bench()))
 
 
 if __name__ == "__main__":

@@ -54,41 +54,11 @@ def _time_best(fn, n: int = 3) -> float:
 
 # --------------------------------------------------------------------------- #
 def bench_lightweight() -> None:
-    from nerve_tpu.models import LightweightSuperResolution
+    # The headline config is measured by bench.py's shared harness — one
+    # methodology, one metric name, two entry points.
+    import bench
 
-    on_tpu = jax.default_backend() == "tpu"
-    h, w = (1080, 1920) if on_tpu else (72, 128)
-    n_frames = 32 if on_tpu else 2
-    model = LightweightSuperResolution(
-        scale_factor=2, dtype=jnp.bfloat16 if on_tpu else jnp.float32
-    )
-    key = jax.random.PRNGKey(0)
-    frame = jax.random.uniform(key, (1, h, w, 3), jnp.float32)
-    variables = jax.jit(model.init)(key, frame)
-
-    @jax.jit
-    def run_n(v, x):
-        # Chained scan (each frame derived from the last output's corner
-        # stat) with all output frames stacked: real serving dependence, full
-        # materialisation, channel-first contract layout.
-        def body(state, _):
-            fr, acc = state
-            out = model.apply(v, fr, False, "packed")
-            s = jnp.mean(out[0, :64, :64], dtype=jnp.float32)
-            bump = fr[:1, :1, :1, :1] + (s * 1e-12).astype(fr.dtype)
-            fr = jax.lax.dynamic_update_slice(fr, bump, (0, 0, 0, 0))
-            return (fr, acc + s), out
-
-        (_, acc), ys = jax.lax.scan(body, (x, jnp.float32(0)), None, length=n_frames)
-        return acc + jnp.float32(ys[-1, 0, -1, -1])
-
-    float(run_n(variables, frame))
-    best = _time_best(lambda: float(run_n(variables, frame)))
-    fps = n_frames / best
-    _emit(
-        "lightweight_1080p_2x_fps" if on_tpu else "lightweight_proxy_fps_cpu",
-        fps, "frames/sec/chip", fps / 60.0,
-    )
+    print(json.dumps(bench.run_lightweight_bench()), flush=True)
 
 
 # --------------------------------------------------------------------------- #

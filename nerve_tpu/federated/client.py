@@ -53,12 +53,14 @@ class VideoEnhancementClient:
         self.val_data = val_data if val_data is not None else train_data
         self.num_frames = num_frames
         self.local_epochs = local_epochs
-        # Clamp to the smaller local split so tiny clients still train/eval:
-        # batches() drops partial batches (fixed shapes for the jitted
-        # steps), and a split smaller than the batch size would otherwise
-        # yield ZERO batches and nan metrics.
-        sizes = [len(d["lr"]) for d in (train_data, val_data) if d is not None]
-        self.batch_size = max(1, min([batch_size] + sizes))
+        # Clamp each loop to ITS OWN split size so tiny clients still
+        # train/eval: batches() drops partial batches (fixed shapes for the
+        # jitted steps), and a split smaller than the batch size would
+        # otherwise yield ZERO batches and nan metrics. Train and eval are
+        # clamped independently — a tiny validation split must not shrink
+        # training batches (different optimization dynamics, more DP rounds).
+        self.batch_size = max(1, min(batch_size, len(train_data["lr"])))
+        self.eval_batch_size = max(1, min(batch_size, len(self.val_data["lr"])))
         self._rng = np.random.default_rng(seed)
 
         def prep(lr: jnp.ndarray) -> jnp.ndarray:
@@ -77,7 +79,10 @@ class VideoEnhancementClient:
 
         tx = optax.adamw(learning_rate)
         if privacy is not None:
-            tx = make_private(tx, privacy, batch_size=batch_size, seed=seed)
+            # The CLAMPED batch size: DP noise scales with the sensitivity of
+            # an actual batch — scaling for the requested-but-never-used size
+            # would add ~requested/actual× too little noise.
+            tx = make_private(tx, privacy, batch_size=self.batch_size, seed=seed)
         self.tx = tx
         self.opt_state = tx.init(self.params)
 
@@ -140,7 +145,7 @@ class VideoEnhancementClient:
         """Validation MSE on local data → (loss, num samples, metrics)."""
         self.set_parameters(parameters)
         losses = []
-        for batch in data_lib.batches(self.val_data, self.batch_size):
+        for batch in data_lib.batches(self.val_data, self.eval_batch_size):
             lr_win = self._prep(jnp.asarray(batch["lr"]))
             losses.append(
                 self._eval_step(self.params, self.batch_stats, lr_win, jnp.asarray(batch["hr"]))

@@ -50,41 +50,39 @@ def rdb_params_from_tree(rdbs_params: Dict[str, Any], num_blocks: int,
     return out
 
 
+def _capture_sr_agg(model, variables, frames):
+    """Calibration forward: capture the RDB chain's input (the temporal
+    aggregator's output) plus the chain's flat f32 param lists."""
+    cal_model = model.clone(quantized=False)
+    cal_vars = {k: v for k, v in variables.items() if k != "quant"}
+    _, inter = cal_model.apply(
+        cal_vars, jnp.asarray(frames),
+        capture_intermediates=lambda mdl, _: mdl.name == "temporal_aggregator",
+        mutable=["intermediates"],
+    )
+    agg = inter["intermediates"]["temporal_aggregator"]["__call__"][0]
+    params_list = rdb_params_from_tree(
+        variables["params"]["rdbs"], model.num_residual_blocks
+    )
+    return agg.astype(jnp.float32), params_list
+
+
 def calibrate_sr_scales(model, variables, frames) -> jnp.ndarray:
     """Run a calibration forward and return (num_blocks, 6) act scales.
 
     ``frames``: representative LR windows (B, T, H, W, C) — a handful of
     real frames is enough for per-tensor max-abs calibration.
     """
-    cal_model = model.clone(quantized=False)
-    cal_vars = {k: v for k, v in variables.items() if k != "quant"}
-    _, inter = cal_model.apply(
-        cal_vars, jnp.asarray(frames),
-        capture_intermediates=lambda mdl, _: mdl.name == "temporal_aggregator",
-        mutable=["intermediates"],
-    )
-    agg = inter["intermediates"]["temporal_aggregator"]["__call__"][0]
-    params_list = rdb_params_from_tree(
-        variables["params"]["rdbs"], model.num_residual_blocks
-    )
-    return rdb_int8.calibrate_rdb_chain(agg.astype(jnp.float32), params_list)
+    agg, params_list = _capture_sr_agg(model, variables, frames)
+    scales, _ = _calibrate_and_quantize(agg, params_list)
+    return scales
 
 
 def quantize_sr_variables(model, variables, frames) -> Dict[str, Any]:
     """f32 variables + calibration frames → variables with the quant
     collection (pre-quantised int8 chain). See module docstring."""
-    cal_model = model.clone(quantized=False)
-    cal_vars = {k: v for k, v in variables.items() if k != "quant"}
-    _, inter = cal_model.apply(
-        cal_vars, jnp.asarray(frames),
-        capture_intermediates=lambda mdl, _: mdl.name == "temporal_aggregator",
-        mutable=["intermediates"],
-    )
-    agg = inter["intermediates"]["temporal_aggregator"]["__call__"][0]
-    params_list = rdb_params_from_tree(
-        variables["params"]["rdbs"], model.num_residual_blocks
-    )
-    _, qchain = _calibrate_and_quantize(agg.astype(jnp.float32), params_list)
+    agg, params_list = _capture_sr_agg(model, variables, frames)
+    _, qchain = _calibrate_and_quantize(agg, params_list)
     out = {k: v for k, v in variables.items() if k != "quant"}
     out["quant"] = {"rdbs": {"qchain": qchain}}
     return out

@@ -242,6 +242,18 @@ class RDBStack(nn.Module):
         if self.quantized:
             from nerve_tpu.ops import rdb_int8
 
+            if (self.num_layers != rdb_ops.NUM_LAYERS
+                    or self.growth_rate != rdb_ops.GROWTH):
+                # The int8 machinery (quantize_rdb_chain slot layout, fused
+                # kernel) is specialised to the reference's 5×32 block — the
+                # bf16 path falls back to XLA here, but there is no XLA int8
+                # fallback, so fail loudly instead of mis-packing weights.
+                raise NotImplementedError(
+                    f"quantized RDBStack requires num_layers="
+                    f"{rdb_ops.NUM_LAYERS}, growth_rate={rdb_ops.GROWTH}; "
+                    f"got {self.num_layers}/{self.growth_rate}"
+                )
+
             qchain = self.variable(
                 "quant", "qchain",
                 # Structure-valid default (unit act scales) so init works;
@@ -352,18 +364,17 @@ class SuperResolutionNet(nn.Module):
         bicubic_ch = ops.upsample_bicubic_channels(
             center_lr.astype(self.dtype), self.scale_factor
         )
+        # One cast to the serving dtype BEFORE the layout branch: every
+        # layout returns the same values in the same dtype (a depth-to-space
+        # is a pure permutation), so switching layouts never changes bytes.
         out_ch = jnp.clip(
             bicubic_ch.astype(jnp.float32) + hr_residual_ch.astype(jnp.float32),
             0.0, 1.0,
-        )
+        ).astype(self.dtype)
         if output_layout == "planar":
-            return ops.pixel_shuffle_planar(
-                out_ch.astype(self.dtype), self.scale_factor
-            )
+            return ops.pixel_shuffle_planar(out_ch, self.scale_factor)
         if output_layout == "packed":
-            return ops.depth_to_space_packed(
-                out_ch.astype(self.dtype), self.scale_factor
-            )
+            return ops.depth_to_space_packed(out_ch, self.scale_factor)
         if output_layout != "nhwc":
             raise ValueError(f"unknown output_layout {output_layout!r}")
         return ops.pixel_shuffle(out_ch, self.scale_factor)
@@ -472,15 +483,15 @@ class LightweightSuperResolution(nn.Module):
                     kernel_init=nn.initializers.zeros_init(),
                     dtype=self.dtype, name="tail")(y)
         base_ch = ops.upsample_bicubic_channels(x, self.scale_factor)
-        out_ch = jnp.clip(base_ch.astype(jnp.float32) + y.astype(jnp.float32), 0.0, 1.0)
+        # Serving-dtype cast before the layout branch: all layouts return the
+        # same bytes (see SuperResolutionNet.fuse_from_features).
+        out_ch = jnp.clip(
+            base_ch.astype(jnp.float32) + y.astype(jnp.float32), 0.0, 1.0
+        ).astype(self.dtype)
         if output_layout == "planar":
-            return ops.pixel_shuffle_planar(
-                out_ch.astype(self.dtype), self.scale_factor
-            )
+            return ops.pixel_shuffle_planar(out_ch, self.scale_factor)
         if output_layout == "packed":
-            return ops.depth_to_space_packed(
-                out_ch.astype(self.dtype), self.scale_factor
-            )
+            return ops.depth_to_space_packed(out_ch, self.scale_factor)
         if output_layout != "nhwc":
             raise ValueError(f"unknown output_layout {output_layout!r}")
         return ops.pixel_shuffle(out_ch, self.scale_factor)

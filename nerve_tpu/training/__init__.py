@@ -187,11 +187,18 @@ def fit_sr(
     best_psnr = -1.0
     if ckpt_manager is not None and ckpt_manager.latest_step() is not None:
         start_epoch = int(ckpt_manager.latest_step())
-        restored = ckpt_manager.restore(
-            {"params": state.params, "opt_state": state.opt_state,
-             "batch_stats": state.batch_stats, "step": state.step,
-             "best_psnr": jnp.float32(best_psnr)}
-        )
+        template = {"params": state.params, "opt_state": state.opt_state,
+                    "batch_stats": state.batch_stats, "step": state.step,
+                    "best_psnr": jnp.float32(best_psnr)}
+        try:
+            restored = ckpt_manager.restore(template)
+        except ValueError:
+            # Checkpoints written before best_psnr was persisted: orbax
+            # StandardRestore rejects template keys missing on disk, so
+            # retry without it (best_psnr then restarts at -1.0).
+            del template["best_psnr"]
+            restored = ckpt_manager.restore(template)
+            restored["best_psnr"] = jnp.float32(best_psnr)
         state = state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             batch_stats=restored["batch_stats"], step=restored["step"],

@@ -66,9 +66,9 @@ def main() -> int:
     xf = x.astype(jnp.float32)
     # One jitted program for the whole calibrate+quantise prep: eager
     # execution would dispatch ~100 tiny ops through the tunnel.
-    qchain = jax.jit(
-        lambda xx: rdb_int8.quantize_rdb_chain(
-            [params], rdb_int8.calibrate_rdb_chain(xx, [params])
+    scales, qchain = jax.jit(
+        lambda xx: (lambda s: (s, rdb_int8.quantize_rdb_chain([params], s)))(
+            rdb_int8.calibrate_rdb_chain(xx, [params])
         )
     )(xf)
     refq = jax.jit(
@@ -77,8 +77,12 @@ def main() -> int:
     gotq = jax.jit(
         lambda xx: rdb_int8.rdb_chain_int8_pallas(xx, qchain, out_dtype=jnp.float32)
     )(xf)
+    # Tolerance = a few int8 quant steps, matching tests/test_rdb_int8:
+    # Mosaic and XLA are separately compiled, so an FMA-contraction ulp in
+    # the f32 requant epilogue can flip a borderline round() by one full
+    # step (docs/perf_notes.md) — a fixed 1e-3 would gate-flake on that.
     check("rdb_int8_vs_xla_int8",
-          float(jnp.max(jnp.abs(gotq - refq))), 1e-3)
+          float(jnp.max(jnp.abs(gotq - refq))), 4 * float(jnp.max(scales)))
 
     # ---- fused conv chain (bf16) ------------------------------------------ #
     from nerve_tpu.ops import conv_chain as cc

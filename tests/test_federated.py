@@ -132,6 +132,40 @@ def _make_clients(n=3, samples=8):
     return model, clients
 
 
+class TestClientBatchClamp:
+    def test_tiny_val_split_keeps_train_batch(self):
+        """Round-2 review: a tiny validation split must not shrink TRAINING
+        batches (and DP noise must scale with the actual train batch)."""
+        model = LightweightSuperResolution(scale_factor=2)
+        key = jax.random.PRNGKey(0)
+        train = data_lib.make_sr_dataset(key, 16, lr_size=8, scale=2)
+        val = data_lib.make_sr_dataset(key, 2, lr_size=8, scale=2)
+        c = federated.VideoEnhancementClient(
+            model, train, val, num_frames=1, local_epochs=1, batch_size=8,
+        )
+        assert c.batch_size == 8          # train clamp: min(8, 16)
+        assert c.eval_batch_size == 2     # eval clamp: min(8, 2)
+        # Both loops still produce finite metrics.
+        _, n, fit_metrics = c.fit(c.get_parameters(), {})
+        loss, _, _ = c.evaluate(c.get_parameters(), {})
+        assert n == 16 and np.isfinite(fit_metrics["train_loss"])
+        assert np.isfinite(loss)
+
+    def test_dp_batch_clamp(self):
+        """DP noise is scaled by the CLAMPED batch size (the one actually
+        used), not the requested one."""
+        model = LightweightSuperResolution(scale_factor=2)
+        key = jax.random.PRNGKey(0)
+        train = data_lib.make_sr_dataset(key, 4, lr_size=8, scale=2)
+        c = federated.VideoEnhancementClient(
+            model, train, num_frames=1, local_epochs=1, batch_size=32,
+            privacy=PrivacyConfig(epsilon=8.0, delta=1e-5, max_grad_norm=1.0),
+        )
+        assert c.batch_size == 4
+        _, _, metrics = c.fit(c.get_parameters(), {})
+        assert np.isfinite(metrics["train_loss"])
+
+
 class _SingleFrameWrapper:
     pass
 

@@ -134,6 +134,23 @@ class TestSuperResolution:
         lplanar = np.asarray(lm.apply(lv, lx, False, "planar"))
         np.testing.assert_allclose(lplanar, np.moveaxis(lnhwc, -1, 1), atol=1e-6)
 
+    def test_output_layouts_same_dtype_bf16(self, rng):
+        """In a bf16 model every layout returns bf16 with IDENTICAL bytes —
+        round-2 review: 'nhwc' used to skip the serving-dtype cast, so
+        switching layouts changed both dtype and values."""
+        lx = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+        lm = models.LightweightSuperResolution(scale_factor=2, dtype=jnp.bfloat16)
+        lv = lm.init(KEY, lx)
+        nhwc = lm.apply(lv, lx)
+        planar = lm.apply(lv, lx, False, "planar")
+        packed = lm.apply(lv, lx, False, "packed")
+        assert nhwc.dtype == planar.dtype == packed.dtype == jnp.bfloat16
+        nf = np.asarray(nhwc, np.float32)
+        np.testing.assert_array_equal(np.asarray(planar, np.float32),
+                                      np.moveaxis(nf, -1, 1))
+        np.testing.assert_array_equal(np.asarray(packed, np.float32),
+                                      nf.reshape(1, 16, 48))
+
     def test_gradients_flow_to_all_params(self, rng):
         x = jnp.asarray(rng.random((1, 3, 8, 8, 3)).astype(np.float32))
         y = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))

@@ -19,6 +19,20 @@ def _small_model(**kw):
 
 
 class TestQuantizedSR:
+    def test_quantized_nonstandard_block_raises(self):
+        """The int8 machinery is specialised to the 5×32 block; a quantized
+        stack with other num_layers must fail loudly, not mis-pack weights
+        (round-2 review: the bf16 path falls back to XLA, int8 cannot)."""
+        import pytest
+
+        from nerve_tpu.models.super_resolution import RDBStack
+
+        stack = RDBStack(num_features=16, num_blocks=1, num_layers=4,
+                         quantized=True)
+        x = jnp.zeros((1, 8, 8, 16))
+        with pytest.raises(NotImplementedError, match="num_layers"):
+            stack.init(jax.random.PRNGKey(0), x)
+
     def test_quantized_forward_tracks_f32(self):
         model = _small_model()
         qmodel = _small_model(quantized=True)

@@ -115,6 +115,45 @@ class TestData:
         assert names == ["sports", "animation", "movie"]
 
 
+def test_fit_sr_resume_from_legacy_checkpoint(tmp_path):
+    """Checkpoints written before best_psnr was persisted still resume —
+    orbax StandardRestore rejects template keys missing on disk, so fit_sr
+    must retry without best_psnr (round-2 review finding)."""
+    import jax.numpy as jnp
+
+    from nerve_tpu import training
+    from nerve_tpu.config.schema import TrainingConfig
+    from nerve_tpu.models import SuperResolutionNet
+    from nerve_tpu.utils import data as data_lib
+    from nerve_tpu.utils.checkpoint import CheckpointManager
+
+    key = jax.random.PRNGKey(0)
+    train_data = data_lib.make_sr_dataset(key, 8, lr_size=8, scale=2)
+    model = SuperResolutionNet(
+        scale_factor=2, num_features=8, num_residual_blocks=1, temporal_window=1
+    )
+    example = data_lib.expand_temporal(jnp.asarray(train_data["lr"][:4]), 3)
+    tx = training.create_optimizer(TrainingConfig(epochs=2, batch_size=4), 2)
+    state = training.create_sr_state(model, example, tx, seed=0)
+
+    # A legacy checkpoint: the pre-round-2 payload, no best_psnr key.
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep_last_n=2)
+    mgr.save(1, {"params": state.params, "opt_state": state.opt_state,
+                 "batch_stats": state.batch_stats, "step": state.step},
+             force=True)
+    mgr.close()
+
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), keep_last_n=2)
+    logs = []
+    _, hist = training.fit_sr(
+        model, train_data, train_data, TrainingConfig(epochs=2, batch_size=4),
+        3, seed=0, ckpt_manager=mgr2, log_fn=logs.append,
+    )
+    assert any("resumed from checkpoint at epoch 1" in s for s in logs)
+    assert np.isfinite(hist["best_psnr"])
+    mgr2.close()
+
+
 def test_fit_sr_checkpoint_resume(tmp_path):
     """Interrupted training resumes from the latest epoch with full state."""
     import jax.numpy as jnp
