@@ -173,12 +173,20 @@ def fit_sr(
     step) is saved every ``ckpt_every`` epochs, and an interrupted run
     restarted with the same manager resumes from the latest epoch.
     """
-    steps_per_epoch = max(1, len(train_data["lr"]) // cfg.batch_size)
+    # Datasets carrying a pre-windowed "lr_win" (N, T, h, w, C) — e.g.
+    # data_lib.make_video_sr_dataset with real inter-frame motion — are used
+    # as-is; plain "lr" datasets follow the reference's frame-repetition
+    # expansion (train_baseline.py:82).
+    def window(batch):
+        if "lr_win" in batch:
+            return jnp.asarray(batch["lr_win"])
+        return data_lib.expand_temporal(jnp.asarray(batch["lr"]), num_frames)
+
+    n_train = len(train_data["lr_win" if "lr_win" in train_data else "lr"])
+    steps_per_epoch = max(1, n_train // cfg.batch_size)
     tx = create_optimizer(cfg, steps_per_epoch)
 
-    example = data_lib.expand_temporal(
-        jnp.asarray(train_data["lr"][: cfg.batch_size]), num_frames
-    )
+    example = window({k: v[: cfg.batch_size] for k, v in train_data.items()})
     state = create_sr_state(model, example, tx, seed)
     train_step = make_sr_train_step(model, cfg.losses.pixel_loss_type, mesh)
     eval_step = make_sr_eval_step(model, mesh)
@@ -216,7 +224,7 @@ def fit_sr(
         log_fn(f"checkpoint epoch {start_epoch} >= cfg.epochs {cfg.epochs}; eval only")
         val_psnrs = []
         for batch in data_lib.batches(val_data, cfg.batch_size):
-            lr_win = data_lib.expand_temporal(jnp.asarray(batch["lr"]), num_frames)
+            lr_win = window(batch)
             val_psnrs.append(eval_step(state, lr_win, jnp.asarray(batch["hr"]))["psnr"])
         val_psnr = float(jnp.mean(jnp.stack(val_psnrs))) if val_psnrs else float("nan")
         best_psnr = max(best_psnr, val_psnr)
@@ -228,12 +236,12 @@ def fit_sr(
         t0 = time.perf_counter()
         losses = []
         for batch in data_lib.batches(train_data, cfg.batch_size, rng=rng):
-            lr_win = data_lib.expand_temporal(jnp.asarray(batch["lr"]), num_frames)
+            lr_win = window(batch)
             state, metrics = train_step(state, lr_win, jnp.asarray(batch["hr"]))
             losses.append(metrics["loss"])
         val_psnrs = []
         for batch in data_lib.batches(val_data, cfg.batch_size):
-            lr_win = data_lib.expand_temporal(jnp.asarray(batch["lr"]), num_frames)
+            lr_win = window(batch)
             m = eval_step(state, lr_win, jnp.asarray(batch["hr"]))
             val_psnrs.append(m["psnr"])
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")

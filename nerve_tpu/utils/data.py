@@ -80,6 +80,59 @@ def make_sr_dataset(
     return {"lr": np.asarray(lr), "hr": np.asarray(hr)}
 
 
+def make_video_sr_dataset(
+    key: jax.Array,
+    num_samples: int,
+    lr_size: int = 64,
+    scale: int = 2,
+    num_frames: int = 3,
+    max_shift: int = 3,
+    channels: int = 3,
+) -> Dict[str, np.ndarray]:
+    """{'lr_win': (N, T, s, s, C), 'hr': (N, s·scale, s·scale, C)} with REAL
+    inter-frame motion.
+
+    Each sample is a panning camera over a larger HR canvas: per-sample
+    integer velocity (vy, vx) ∈ [-max_shift, max_shift] HR-pixels/frame, frame
+    t cropped at ``center + (t - T//2)·v`` and box-decimated to LR. ``hr`` is
+    the center-frame target. Unlike :func:`expand_temporal` (the reference's
+    frame-repetition protocol, train_baseline.py:82), this exercises the flow
+    head and warp path with non-trivial motion — needed to measure the
+    quality cost of flow-serving configs (coarse ``flow_downsample``), which
+    is vacuously zero on repeated frames.
+    """
+    hr_size = lr_size * scale
+    t_half = num_frames // 2
+    margin = max_shift * t_half
+    canvas_size = hr_size + 2 * margin
+    k_canvas, k_vel = jax.random.split(key)
+    base = make_sr_dataset(k_canvas, num_samples, canvas_size // scale, scale,
+                           channels=channels)
+    canvas = jnp.asarray(base["hr"])  # (N, canvas, canvas, C)
+    vel = jax.random.randint(
+        k_vel, (num_samples, 2), -max_shift, max_shift + 1
+    )  # HR px/frame
+
+    def crop_frame(canvas_i, vel_i, t):
+        off = margin + vel_i * (t - t_half)
+        return jax.lax.dynamic_slice(
+            canvas_i, (off[0], off[1], 0), (hr_size, hr_size, channels)
+        )
+
+    frames_hr = jnp.stack(
+        [jax.vmap(crop_frame, in_axes=(0, 0, None))(canvas, vel, t)
+         for t in range(num_frames)],
+        axis=1,
+    )  # (N, T, hr, hr, C)
+    lr_win = frames_hr.reshape(
+        num_samples, num_frames, lr_size, scale, lr_size, scale, channels
+    ).mean(axis=(3, 5))
+    return {
+        "lr_win": np.asarray(jnp.clip(lr_win, 0.0, 1.0)),
+        "hr": np.asarray(frames_hr[:, t_half]),
+    }
+
+
 def make_task_sequence(
     seed: int,
     num_tasks: int = 5,

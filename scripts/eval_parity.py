@@ -41,12 +41,36 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--motion", action="store_true",
+        help="Train/evaluate on panning-camera video windows "
+        "(data_lib.make_video_sr_dataset) instead of the reference's "
+        "frame-repetition protocol. Required for the coarse-flow delta to "
+        "be meaningful: on repeated frames flow is zero and "
+        "flow_downsample changes nothing.",
+    )
+    p.add_argument(
+        "--platform", default=None, choices=(None, "cpu", "tpu"),
+        help="Pin the JAX platform (the axon TPU PJRT plugin ignores "
+        "JAX_PLATFORMS; only jax.config.update binds — use --platform cpu "
+        "when the TPU tunnel is unavailable).",
+    )
     args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     key = jax.random.PRNGKey(args.seed)
     k_train, k_eval = jax.random.split(key)
-    train = data_lib.make_sr_dataset(k_train, args.train_samples, args.lr_size, 2)
-    test = data_lib.make_sr_dataset(k_eval, args.eval_samples, args.lr_size, 2)
+    if args.motion:
+        train = data_lib.make_video_sr_dataset(
+            k_train, args.train_samples, args.lr_size, 2, num_frames=3
+        )
+        test = data_lib.make_video_sr_dataset(
+            k_eval, args.eval_samples, args.lr_size, 2, num_frames=3
+        )
+    else:
+        train = data_lib.make_sr_dataset(k_train, args.train_samples, args.lr_size, 2)
+        test = data_lib.make_sr_dataset(k_eval, args.eval_samples, args.lr_size, 2)
 
     model = SuperResolutionNet(
         scale_factor=2, num_features=32, num_residual_blocks=4, temporal_window=1
@@ -57,9 +81,13 @@ def main(argv=None):
     )
     state, _ = training.fit_sr(model, train, train, cfg, num_frames=3, seed=args.seed)
 
-    lr_t = jnp.asarray(test["lr"])
     hr_t = jnp.asarray(test["hr"])
-    lr_win = data_lib.expand_temporal(lr_t, 3)
+    if args.motion:
+        lr_win = jnp.asarray(test["lr_win"])
+        lr_t = lr_win[:, lr_win.shape[1] // 2]  # center frame for bicubic
+    else:
+        lr_t = jnp.asarray(test["lr"])
+        lr_win = data_lib.expand_temporal(lr_t, 3)
 
     @jax.jit
     def forward(params, stats, x):
@@ -69,6 +97,7 @@ def main(argv=None):
     bicubic = jnp.clip(ops.upsample_bicubic(lr_t, 2), 0, 1)
 
     results = {
+        "protocol": "motion" if args.motion else "repeat",
         "psnr": float(psnr(pred, hr_t)),
         "ssim": float(ssim(pred, hr_t)),
         "mae": float(mae(pred, hr_t)),
@@ -98,7 +127,9 @@ def main(argv=None):
         results["psnr_int8"] - results["psnr_coarse_flow"]
     )
 
-    print(json.dumps({k: round(v, 4) for k, v in results.items()}))
+    print(json.dumps(
+        {k: round(v, 4) if isinstance(v, float) else v for k, v in results.items()}
+    ))
     return results
 
 

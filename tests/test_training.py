@@ -202,3 +202,39 @@ def test_fit_sr_checkpoint_resume(tmp_path):
     assert any("eval only" in s for s in logs3)
     assert np.isfinite(hist3["best_psnr"]) and np.isfinite(hist3["final_psnr"])
     mgr.close()
+
+
+class TestVideoData:
+    """make_video_sr_dataset + fit_sr's pre-windowed (lr_win) path."""
+
+    def test_video_dataset_shapes_and_motion(self):
+        key = jax.random.PRNGKey(3)
+        d = data_lib.make_video_sr_dataset(
+            key, 6, lr_size=16, scale=2, num_frames=3, max_shift=3
+        )
+        assert d["lr_win"].shape == (6, 3, 16, 16, 3)
+        assert d["hr"].shape == (6, 32, 32, 3)
+        assert d["lr_win"].min() >= 0.0 and d["lr_win"].max() <= 1.0
+        # Center LR frame must be the box decimation of the HR target.
+        hr = d["hr"].reshape(6, 16, 2, 16, 2, 3).mean(axis=(2, 4))
+        np.testing.assert_allclose(d["lr_win"][:, 1], hr, atol=1e-5)
+        # Real inter-frame motion: neighbours differ from the center frame
+        # for at least most samples (velocity 0 has prob (1/7)^2 per sample).
+        diffs = np.abs(d["lr_win"][:, 0] - d["lr_win"][:, 1]).reshape(6, -1).max(1)
+        assert (diffs > 1e-3).sum() >= 4
+
+    def test_fit_sr_consumes_lr_win(self):
+        key = jax.random.PRNGKey(4)
+        data = data_lib.make_video_sr_dataset(
+            key, 16, lr_size=16, scale=2, num_frames=3, max_shift=2
+        )
+        model = _tiny_model()
+        cfg = TrainingConfig(
+            epochs=2, batch_size=8, learning_rate=3e-3, warmup_epochs=0,
+            scheduler="constant",
+        )
+        _, history = training.fit_sr(
+            model, data, data, cfg, num_frames=3, log_fn=lambda s: None
+        )
+        assert np.isfinite(history["final_loss"])
+        assert history["final_psnr"] > 15.0
