@@ -104,7 +104,9 @@ class DepthwiseSeparableConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, as_entries: bool = False
+    ):
         in_ch = x.shape[-1]
         kd = _KernelParams(
             (self.kernel_size, self.kernel_size, 1, in_ch), name="depthwise"
@@ -112,6 +114,25 @@ class DepthwiseSeparableConv(nn.Module):
         kp = _KernelParams((1, 1, in_ch, self.features), name="pointwise")()
         scale, bias, mean_v, var_v = _BNParams(self.features, name="BatchNorm_0")()
         eps = 1e-5
+
+        if as_entries:
+            # Return this block's conv-chain entries (BN affine folded into
+            # the pointwise conv, eval statistics) WITHOUT computing — lets a
+            # parent fuse several DWSep blocks plus its own convs into ONE
+            # Pallas launch (see LightweightSuperResolution). Per-block
+            # launches were measured SLOWER than XLA (each pays an HBM
+            # pad/unpad round-trip of the full activation); one whole-body
+            # launch keeps every intermediate in VMEM.
+            if train or self.stride != 1 or self.kernel_size != 3:
+                raise ValueError(
+                    "as_entries requires eval mode, stride 1, kernel 3"
+                )
+            inv = scale / jnp.sqrt(var_v.value + eps)
+            return (
+                (kd[:, :, 0, :], jnp.zeros((in_ch,), kd.dtype), "none"),
+                (kp * inv[None, None, None, :], bias - mean_v.value * inv,
+                 "relu"),
+            )
 
         if (not train and self.use_fused and self.stride == 1
                 and self.kernel_size == 3):

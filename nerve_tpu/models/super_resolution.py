@@ -49,11 +49,24 @@ class FeatureExtractor(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kh, bh = ConvParams(self.num_features, (3, 3), x.shape[-1], name="head")()
         feat = ops.conv_chain_apply(x.astype(self.dtype), [(kh, bh, "relu")])
-        body = feat
-        for i in range(3):
-            body = DepthwiseSeparableConv(
+        blocks = [
+            DepthwiseSeparableConv(
                 self.num_features, dtype=self.dtype, name=f"body{i}"
-            )(body, train)
+            )
+            for i in range(3)
+        ]
+        if train:
+            body = feat
+            for blk in blocks:
+                body = blk(body, True)
+        else:
+            # All three DWSep blocks in ONE fused launch (halo 3) — XLA runs
+            # depthwise convs memory-bound at 0.5 TF/s; fused they are VMEM
+            # streaming FMAs (same rationale as LightweightSuperResolution).
+            chain = []
+            for blk in blocks:
+                chain.extend(blk(feat, False, as_entries=True))
+            body = ops.conv_chain_apply(feat, chain, tile=(64, 240))
         return body + feat
 
 
@@ -476,12 +489,37 @@ class LightweightSuperResolution(nn.Module):
         self, x: jnp.ndarray, train: bool = False, output_layout: str = "nhwc"
     ) -> jnp.ndarray:
         inp = x.astype(self.dtype)
-        y = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="head")(inp))
-        for i in range(4):
-            y = DepthwiseSeparableConv(32, dtype=self.dtype, name=f"body{i}")(y, train)
-        y = nn.Conv(3 * self.scale_factor**2, (3, 3), padding=1,
-                    kernel_init=nn.initializers.zeros_init(),
-                    dtype=self.dtype, name="tail")(y)
+        # Param tree identical to the former nn.Conv head/tail +
+        # DepthwiseSeparableConv body — checkpoints and import_torch mappings
+        # are unchanged; only the serving compute path differs.
+        hk, hb = ConvParams(32, (3, 3), x.shape[-1], name="head")()
+        body = [
+            DepthwiseSeparableConv(32, dtype=self.dtype, name=f"body{i}")
+            for i in range(4)
+        ]
+        tk, tb = ConvParams(
+            3 * self.scale_factor**2, (3, 3), 32,
+            kernel_init=nn.initializers.zeros_init(), name="tail",
+        )()
+        if train:
+            # Live batch statistics require the module path per block.
+            y = ops.conv_chain_apply(inp, [(hk, hb, "relu")], use_pallas=False)
+            for blk in body:
+                y = blk(y, True)
+            y = ops.conv_chain_apply(y, [(tk, tb, "none")], use_pallas=False)
+        else:
+            # Whole-body fusion: head + 4×(dw+pw·BN) + tail = one 10-layer
+            # conv-chain call (ONE Pallas launch on TPU bf16 — every
+            # intermediate stays in VMEM; XLA runs the depthwise convs at
+            # 0.5 TF/s memory-bound, docs/perf_notes.md). Halo is 6 (six
+            # 3×3-support layers), so use a taller/wider tile than the
+            # short-chain default to amortise the halo recompute.
+            probe = jnp.zeros((1, 1, 1, 32), self.dtype)  # body blocks are 32ch
+            chain = [(hk, hb, "relu")]
+            for blk in body:
+                chain.extend(blk(probe, False, as_entries=True))
+            chain.append((tk, tb, "none"))
+            y = ops.conv_chain_apply(inp, chain, tile=(64, 240))
         base_ch = ops.upsample_bicubic_channels(x, self.scale_factor)
         # Serving-dtype cast before the layout branch: all layouts return the
         # same bytes (see SuperResolutionNet.fuse_from_features).

@@ -346,18 +346,18 @@ def _chain_xla(x, ws, bs, acts) -> jnp.ndarray:
     return x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def conv_chain_fused(acts, x, ws, bs) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv_chain_fused(acts, tile, x, ws, bs) -> jnp.ndarray:
     """Fused conv chain: (B, H, W, Cin) [or an input tuple to concat] →
-    (B, H, W, Cout_last)."""
-    return _chain_pallas(x, ws, bs, acts)
+    (B, H, W, Cout_last). ``tile`` = static (th, tw)."""
+    return _chain_pallas(x, ws, bs, acts, th=tile[0], tw=tile[1])
 
 
-def _cc_fwd(acts, x, ws, bs):
-    return conv_chain_fused(acts, x, ws, bs), (x, ws, bs)
+def _cc_fwd(acts, tile, x, ws, bs):
+    return conv_chain_fused(acts, tile, x, ws, bs), (x, ws, bs)
 
 
-def _cc_bwd(acts, res, g):
+def _cc_bwd(acts, tile, res, g):
     x, ws, bs = res
     _, vjp = jax.vjp(lambda xx, ww, bb: _chain_xla(xx, ww, bb, acts), x, ws, bs)
     return vjp(g)
@@ -373,7 +373,8 @@ def _auto_pallas(x: jnp.ndarray) -> bool:
 
 
 def conv_chain_apply(
-    x, params, use_pallas: bool | None = None
+    x, params, use_pallas: bool | None = None,
+    tile: Tuple[int, int] = (32, 120),
 ) -> jnp.ndarray:
     """Run a conv(+ReLU) chain; fused on TPU bf16, XLA elsewhere.
 
@@ -382,6 +383,9 @@ def conv_chain_apply(
     concatenated tensor never exists in HBM).
     ``params``: sequence of (kernel (kh,kw,cin,cout), bias (cout,), act)
     with act ∈ {'relu', 'none'}.
+    ``tile``: spatial (th, tw) VMEM tile for the fused path. The default
+    suits short chains (halo ≤3); deep chains amortise their halo better
+    with larger tiles (see LightweightSuperResolution's whole-body call).
     """
     if isinstance(x, (list, tuple)):
         x = tuple(x)
@@ -395,5 +399,5 @@ def conv_chain_apply(
     acts = tuple(a for _w, _b, a in params)
     _layer_specs(ws, acts)  # validate on every path
     if use_pallas:
-        return conv_chain_fused(acts, x, ws, bs)
+        return conv_chain_fused(acts, tuple(tile), x, ws, bs)
     return _chain_xla(x, ws, bs, acts)

@@ -49,6 +49,30 @@ class TestConvChain:
             tiled = cc._chain_pallas(x, ws, bs, acts, th=8, tw=16)
         np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=2e-6)
 
+    def test_depthwise_whole_body_chain(self, rng):
+        """LightweightSuperResolution-shaped chain — head 3×3, alternating
+        depthwise/pointwise blocks, 3×3 tail — exact vs XLA including image
+        boundaries, multi-tile, deep halo (4 × 3×3-support layers)."""
+        x = jnp.asarray(rng.standard_normal((1, 19, 25, 3)).astype(np.float32)) * 0.5
+        dw = lambda c: (  # noqa: E731
+            jnp.asarray(rng.standard_normal((3, 3, c)).astype(np.float32)) * 0.2,
+            jnp.zeros((c,), jnp.float32),
+            "none",
+        )
+        params = [
+            (*_mk(rng, 3, 3, 8), "relu"),
+            dw(8), (*_mk(rng, 1, 8, 8), "relu"),
+            dw(8), (*_mk(rng, 1, 8, 8), "relu"),
+            (*_mk(rng, 3, 8, 4), "none"),
+        ]
+        ws = tuple(p[0] for p in params)
+        bs = tuple(p[1] for p in params)
+        acts = tuple(p[2] for p in params)
+        ref = cc._chain_xla(x, ws, bs, acts)
+        with pltpu.force_tpu_interpret_mode():
+            got = cc._chain_pallas(x, ws, bs, acts, th=8, tw=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
     def test_bf16_error_bounded_vs_f32(self, rng):
         """bf16 serving parity bound (round-1 advisor finding): the fused
         chain's per-dy partial sums round to bf16 before the f32 tap

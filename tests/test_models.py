@@ -105,6 +105,54 @@ class TestSuperResolution:
         # Reference LightweightSuperResolution measures 9,868 params (BASELINE.md).
         assert n_params < 20_000
 
+    def test_lightweight_fused_body_matches_module_path(self, rng):
+        """The whole-body conv-chain serving path (head + 4×DWSep + tail in
+        ONE fused call, BN affines folded into the pointwise convs) must
+        match the plain module-by-module forward on the same variable tree —
+        including non-trivial BatchNorm running statistics."""
+        import flax.linen as nn
+
+        from nerve_tpu import ops
+
+        class LegacyLightweight(nn.Module):
+            """The pre-fusion formulation (one nn.Conv/DWSep per layer)."""
+
+            scale_factor: int = 2
+
+            @nn.compact
+            def __call__(self, x):
+                y = nn.relu(nn.Conv(32, (3, 3), padding=1, name="head")(x))
+                for i in range(4):
+                    y = models.DepthwiseSeparableConv(32, name=f"body{i}")(
+                        y, False
+                    )
+                y = nn.Conv(3 * self.scale_factor**2, (3, 3), padding=1,
+                            name="tail")(y)
+                base = ops.upsample_bicubic_channels(x, self.scale_factor)
+                out = jnp.clip(y.astype(jnp.float32) + base.astype(jnp.float32),
+                               0.0, 1.0)
+                return ops.pixel_shuffle(out, self.scale_factor)
+
+        x = jnp.asarray(rng.random((2, 12, 20, 3)).astype(np.float32))
+        m = models.LightweightSuperResolution(scale_factor=2)
+        variables = m.init(KEY, x)
+        # Non-identity BN stats + affine so the folded path is actually
+        # exercised (init stats are mean 0 / var 1 and would fold to ≈id).
+        variables = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape).astype(np.float32) * 0.5
+            ),
+            variables,
+        )
+        variables["batch_stats"] = jax.tree_util.tree_map(
+            lambda s: jnp.abs(s) + 0.5, variables["batch_stats"]
+        )
+        got = m.apply(variables, x)
+        want = LegacyLightweight(scale_factor=2).apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+        )
+
     def test_output_layouts_equivalent(self, rng):
         """'planar'/'packed' serving layouts carry the same bytes as 'nhwc'."""
         x = jnp.asarray(rng.random((1, 3, 8, 8, 3)).astype(np.float32))
