@@ -254,6 +254,10 @@ def _chain_pallas(
     c = sum(cins)
     x = xs[0]
     halo = max(_chain_halo(specs), 1)
+    # Clamp the tile to the image so small inputs (engine recovery at 270p,
+    # facade probes, 64² training crops) don't pay a 2×-tile padding wall.
+    th = min(th, _ceil_to(h, 8))
+    tw = min(tw, _ceil_to(w, 8))
     th = max(th, 2 * halo)
     tw = max(tw - tw % 8, _ceil_to(2 * halo, 8))
     nh = -(-h // th)
