@@ -45,8 +45,114 @@ def _correlation_xla(f1: jnp.ndarray, f2: jnp.ndarray, d: int) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------- #
-# Pallas TPU kernel
+# Pallas TPU kernels
 # --------------------------------------------------------------------------- #
+
+
+def _corr_kernel_planar(
+    f1_ref, band0_ref, band1_ref, out_ref, *, d: int, th: int, w: int, c: int
+):
+    """Channel-planar correlation: C on the MAJOR axis, W on lanes.
+
+    The NHWC kernel's inner step is a multiply + cross-LANE reduction over C
+    (≈log₂C shuffle-add passes over the whole tile per displacement). With
+    channels planar, the C-reduction is a plain major-axis sum — C streaming
+    full-lane FMAs with zero shuffles — so each displacement costs ~2 passes
+    over the tile instead of ~1+log₂C.
+
+    Refs: f1 (1, C, TH, W); band0/band1 (1, C, TH, W+2d) consecutive row
+    bands (same H-halo trick as the NHWC kernel, needs TH ≥ 2d);
+    out (1, D², TH, W).
+    """
+    D = 2 * d + 1
+    f1 = f1_ref[0]  # (C, TH, W)
+    band = jnp.concatenate([band0_ref[0], band1_ref[0]], axis=1)  # (C, 2TH, W+2d)
+    inv_c = 1.0 / c
+    for di in range(D):
+        for dj in range(D):
+            f2s = band[:, di : di + th, dj : dj + w]
+            prod = (f1 * f2s).astype(jnp.float32)
+            out_ref[0, di * D + dj, :, :] = (
+                jnp.sum(prod, axis=0) * inv_c
+            ).astype(out_ref.dtype)
+
+
+def _correlation_pallas_planar(
+    f1: jnp.ndarray, f2: jnp.ndarray, d: int, th: int = 8, tw: int = 256
+) -> jnp.ndarray:
+    """NHWC in → NHWC out, compute in channel-planar layout.
+
+    The (B, H, W, C) → (B, C, H, W) transposes are cheap relayouts next to
+    the 81-displacement reduction; the (B, D², H, W) output is transposed
+    once, identically to the NHWC kernel's epilogue.
+    """
+    b, h, w, c = f1.shape
+    D = 2 * d + 1
+    th = max(th, 2 * d)
+    ph = -h % th
+    nh = (h + ph) // th
+
+    tw = min(tw, w)
+    pw = -w % tw
+    nw = (w + pw) // tw
+    wp = w + pw
+
+    f1p = jnp.transpose(jnp.pad(f1, ((0, 0), (0, ph), (0, pw), (0, 0))),
+                        (0, 3, 1, 2))
+    pad_bottom = (nh + 1) * th - (h + d)
+    f2p = jnp.transpose(
+        jnp.pad(f2, ((0, 0), (d, pad_bottom), (d, d + pw), (0, 0))),
+        (0, 3, 1, 2),
+    )
+
+    if nw > 1:
+        # Strip-mine W into the batch dim (planar: W is the LAST axis).
+        f1s = f1p.reshape(b, c, h + ph, nw, tw)
+        f1s = jnp.moveaxis(f1s, 3, 1).reshape(b * nw, c, h + ph, tw)
+        f2_strips = [
+            lax.slice_in_dim(f2p, j * tw, j * tw + tw + 2 * d, axis=3)
+            for j in range(nw)
+        ]
+        f2s = jnp.stack(f2_strips, axis=1).reshape(
+            b * nw, c, f2p.shape[2], tw + 2 * d
+        )
+        eff_b, eff_w = b * nw, tw
+    else:
+        f1s, f2s = f1p, f2p
+        eff_b, eff_w = b, wp
+
+    kernel = functools.partial(
+        _corr_kernel_planar, d=d, th=th, w=eff_w, c=c
+    )
+    band_spec = lambda shift: pl.BlockSpec(  # noqa: E731
+        (1, c, th, eff_w + 2 * d),
+        lambda bi, hi, shift=shift: (bi, 0, hi + shift, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((eff_b, D * D, h + ph, eff_w), f1.dtype),
+        grid=(eff_b, nh),
+        in_specs=[
+            pl.BlockSpec(
+                (1, c, th, eff_w), lambda bi, hi: (bi, 0, hi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            band_spec(0),
+            band_spec(1),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, D * D, th, eff_w), lambda bi, hi: (bi, 0, hi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(f1s, f2s, f2s)
+
+    if nw > 1:
+        out = out.reshape(b, nw, D * D, h + ph, tw)
+        out = jnp.transpose(out, (0, 3, 1, 4, 2)).reshape(b, h + ph, wp, D * D)
+        return out[:, :h, :w, :]
+    out = out[:, :, :h, :w]
+    return jnp.transpose(out, (0, 2, 3, 1))  # (B, H, W, D²)
 
 
 def _corr_kernel(f1_ref, band0_ref, band1_ref, out_ref, *, d: int, th: int, w: int, c: int):
@@ -147,13 +253,16 @@ def _correlation_pallas(
     return jnp.transpose(out, (0, 2, 3, 1))  # (B, H, W, D²)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _correlation_tpu(f1: jnp.ndarray, f2: jnp.ndarray, d: int) -> jnp.ndarray:
-    return _correlation_pallas(f1, f2, d)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _correlation_tpu(
+    f1: jnp.ndarray, f2: jnp.ndarray, d: int, planar: bool
+) -> jnp.ndarray:
+    impl = _correlation_pallas_planar if planar else _correlation_pallas
+    return impl(f1, f2, d)
 
 
-def _corr_fwd(f1, f2, d):
-    return _correlation_pallas(f1, f2, d), (f1, f2)
+def _corr_fwd(f1, f2, d, planar):
+    return _correlation_tpu(f1, f2, d, planar), (f1, f2)
 
 
 def _corr_bwd_impl(f1, f2, d, g):
@@ -163,7 +272,7 @@ def _corr_bwd_impl(f1, f2, d, g):
     return vjp(g)
 
 
-def _corr_bwd(d, res, g):
+def _corr_bwd(d, planar, res, g):
     f1, f2 = res
     df1, df2 = _corr_bwd_impl(f1, f2, d, g)
     return df1, df2
@@ -171,12 +280,19 @@ def _corr_bwd(d, res, g):
 
 _correlation_tpu.defvjp(_corr_fwd, _corr_bwd)
 
+# Serving default, decided by measurement (scripts/diag_corr.py): the planar
+# kernel's C-reduction is a major-axis streaming sum (no cross-lane
+# shuffles); the NHWC kernel pays ~log₂C shuffle-add passes per displacement.
+# Keep NHWC until the planar kernel is timed on hardware.
+PLANAR_DEFAULT = False
+
 
 def correlation_volume(
     f1: jnp.ndarray,
     f2: jnp.ndarray,
     max_displacement: int = 4,
     use_pallas: bool | None = None,
+    planar: bool | None = None,
 ) -> jnp.ndarray:
     """Correlation cost volume between two NHWC feature maps.
 
@@ -185,6 +301,8 @@ def correlation_volume(
         f2: (B, H, W, C) target features.
         max_displacement: d; output has (2d+1)² channels.
         use_pallas: force kernel choice; None auto-selects (Pallas on TPU).
+        planar: force the channel-planar kernel layout; None = measured
+            default (PLANAR_DEFAULT).
 
     Returns:
         (B, H, W, (2d+1)²) float32 cost volume, normalised by C.
@@ -193,6 +311,8 @@ def correlation_volume(
         from nerve_tpu.ops.dispatch import pallas_available
 
         use_pallas = pallas_available()
+    if planar is None:
+        planar = PLANAR_DEFAULT
     if use_pallas:
-        return _correlation_tpu(f1, f2, max_displacement)
+        return _correlation_tpu(f1, f2, max_displacement, planar)
     return _correlation_xla(f1, f2, max_displacement)

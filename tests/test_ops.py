@@ -162,6 +162,26 @@ class TestCorrelation:
         assert g.shape == f1.shape
         assert bool(jnp.any(g != 0))
 
+    @pytest.mark.parametrize("planar", [False, True])
+    @pytest.mark.parametrize("strips", [False, True])
+    def test_pallas_kernels_match_xla_interpret(self, rng, planar, strips):
+        """Both Pallas layouts (NHWC lane-reduce / channel-planar streaming
+        sum) vs the XLA formulation, incl. the strip-mined wide-frame path."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from nerve_tpu.ops import correlation as corr
+
+        d = 2
+        h, w, c = 11, (40 if strips else 12), 8
+        f1 = jnp.asarray(rng.standard_normal((2, h, w, c)).astype(np.float32))
+        f2 = jnp.asarray(rng.standard_normal((2, h, w, c)).astype(np.float32))
+        ref = corr._correlation_xla(f1, f2, d)
+        impl = corr._correlation_pallas_planar if planar else corr._correlation_pallas
+        with pltpu.force_tpu_interpret_mode():
+            got = impl(f1, f2, d, th=8, tw=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestFusedRDB:
     def _params(self, rng, c=16):
