@@ -107,6 +107,30 @@ def main() -> int:
     check("conv_chain_bf16_vs_xla_f32",
           float(jnp.max(jnp.abs(gotc - refc))), 4 * 2.0**-8 * max(scale_c, 1.0))
 
+    # ---- depthwise-bearing whole-body chain (lightweight shape) ----------- #
+    k1, k2, k3, k4, key = jax.random.split(key, 5)
+    dwc = [
+        (jax.random.normal(k1, (3, 3, 3, 8)) * 0.2, jnp.zeros((8,)), "relu"),
+        (jax.random.normal(k2, (3, 3, 8)) * 0.3, jnp.zeros((8,)), "none"),
+        (jax.random.normal(k3, (1, 1, 8, 8)) * 0.2, jnp.zeros((8,)), "relu"),
+        (jax.random.normal(k4, (3, 3, 8, 12)) * 0.2, jnp.zeros((12,)), "none"),
+    ]
+    xdw = (jax.random.normal(key, (1, 40, 144, 3)) * 0.5).astype(jnp.bfloat16)
+    wsd = tuple(p[0].astype(jnp.bfloat16) for p in dwc)
+    bsd = tuple(p[1].astype(jnp.bfloat16) for p in dwc)
+    actd = tuple(p[2] for p in dwc)
+    refdw = cc._chain_xla(xdw.astype(jnp.float32),
+                          tuple(w.astype(jnp.float32) for w in wsd),
+                          tuple(b.astype(jnp.float32) for b in bsd), actd)
+    gotdw = cc.conv_chain_apply(
+        xdw, [(w, b, a) for w, b, a in zip(wsd, bsd, actd)],
+        use_pallas=True, tile=(16, 48),
+    ).astype(jnp.float32)
+    scale_dw = float(jnp.max(jnp.abs(refdw)))
+    check("conv_chain_dw3_bf16_vs_xla_f32",
+          float(jnp.max(jnp.abs(gotdw - refdw))),
+          6 * 2.0**-8 * max(scale_dw, 1.0))
+
     # ---- MXU packed depth-to-space ---------------------------------------- #
     # ops.__init__ re-exports the pixel_shuffle FUNCTION under the same name
     # as the submodule, so attribute-style imports resolve to the function.
@@ -131,6 +155,9 @@ def main() -> int:
     scale_v = float(jnp.max(jnp.abs(refv)))
     check("correlation_vs_xla",
           float(jnp.max(jnp.abs(gotv - refv))), 16 * 2.0**-8 * max(scale_v, 1e-3))
+    gotvp = correlation_volume(f1, f2, 3, use_pallas=True, planar=True)
+    check("correlation_planar_vs_xla",
+          float(jnp.max(jnp.abs(gotvp - refv))), 16 * 2.0**-8 * max(scale_v, 1e-3))
 
     # ---- end-to-end invariant: untrained lightweight == bicubic ----------- #
     from nerve_tpu.models import LightweightSuperResolution
