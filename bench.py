@@ -83,8 +83,22 @@ def run_lightweight_bench() -> dict:
         (_, acc), ys = jax.lax.scan(body, (x, jnp.float32(0)), None, length=n_frames)
         return acc + jnp.float32(ys[-1, 0, -1, -1])
 
-    # Warmup / compile (forces full execution via the scalar fetch).
-    float(run_n(variables, frame))
+    # Warmup / compile (forces full execution via the scalar fetch). If a
+    # Mosaic lowering regression ever breaks a fused kernel ON HARDWARE
+    # (CI covers interpret mode only), fall back to the XLA formulations
+    # rather than losing the headline measurement entirely — the fallback
+    # is slower but correct, and the regression still surfaces in the log.
+    try:
+        float(run_n(variables, frame))
+    except Exception as e:  # noqa: BLE001
+        from nerve_tpu.ops import dispatch
+
+        print(f"# fused-kernel warmup failed ({type(e).__name__}); "
+              f"falling back to XLA formulations: {str(e)[:200]}",
+              file=sys.stderr, flush=True)
+        dispatch.force_xla(True)
+        run_n = jax.jit(run_n.__wrapped__)
+        float(run_n(variables, frame))
 
     best = float("inf")
     for _ in range(3):
