@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from nerve_tpu import ops, training
 from nerve_tpu.config.schema import TrainingConfig
-from nerve_tpu.models import SuperResolutionNet
+from nerve_tpu.models import LightweightSuperResolution, SuperResolutionNet
 from nerve_tpu.utils import data as data_lib
 from nerve_tpu.utils.metrics import mae, mse, psnr, ssim
 
@@ -50,6 +50,13 @@ def main(argv=None):
         "flow_downsample changes nothing.",
     )
     p.add_argument(
+        "--model", default="full", choices=("full", "lightweight"),
+        help="'full' = SuperResolutionNet (the reference protocol); "
+        "'lightweight' = LightweightSuperResolution, the single-frame "
+        "60 fps serving config bench.py measures — this branch reports "
+        "the PSNR of the SAME model the headline fps describes.",
+    )
+    p.add_argument(
         "--platform", default=None, choices=(None, "cpu", "tpu"),
         help="Pin the JAX platform (the axon TPU PJRT plugin ignores "
         "JAX_PLATFORMS; only jax.config.update binds — use --platform cpu "
@@ -61,6 +68,8 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     k_train, k_eval = jax.random.split(key)
+    if args.model == "lightweight":
+        return _eval_lightweight(args, k_train, k_eval)
     if args.motion:
         train = data_lib.make_video_sr_dataset(
             k_train, args.train_samples, args.lr_size, 2, num_frames=3
@@ -127,6 +136,70 @@ def main(argv=None):
         results["psnr_int8"] - results["psnr_coarse_flow"]
     )
 
+    print(json.dumps(
+        {k: round(v, 4) if isinstance(v, float) else v for k, v in results.items()}
+    ))
+    return results
+
+
+def _eval_lightweight(args, k_train, k_eval):
+    """PSNR for the LightweightSuperResolution serving config.
+
+    bench.py's headline fps is this model; VERDICT round 1 item #5 asks for
+    the fps AND the PSNR of the same config. Single-frame model, so the
+    frame-repetition vs motion protocol distinction is moot — train/eval on
+    single (lr, hr) pairs (reference protocol, README.md:355-370).
+    """
+    train = data_lib.make_sr_dataset(k_train, args.train_samples, args.lr_size, 2)
+    test = data_lib.make_sr_dataset(k_eval, args.eval_samples, args.lr_size, 2)
+
+    model = LightweightSuperResolution(scale_factor=2)
+    cfg = TrainingConfig(
+        epochs=args.epochs, batch_size=args.batch_size, learning_rate=args.lr,
+        warmup_epochs=min(5, args.epochs // 10), scheduler="cosine",
+    )
+    lr_all = jnp.asarray(train["lr"])
+    hr_all = jnp.asarray(train["hr"])
+    n = lr_all.shape[0] - lr_all.shape[0] % args.batch_size
+    steps_per_epoch = n // args.batch_size
+    tx = training.create_optimizer(cfg, steps_per_epoch)
+    state = training.create_sr_state(model, lr_all[: args.batch_size], tx, args.seed)
+    step = training.make_sr_train_step(model, loss_kind="mse")
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.epochs):
+        key, kp = jax.random.split(key)
+        perm = jax.random.permutation(kp, n)
+        last = None
+        for i in range(steps_per_epoch):
+            idx = perm[i * args.batch_size : (i + 1) * args.batch_size]
+            state, last = step(state, lr_all[idx], hr_all[idx])
+        print(
+            f"epoch {epoch + 1}/{args.epochs}: loss={float(last['loss']):.5f} "
+            f"train_psnr={float(last['psnr']):.2f}dB", flush=True,
+        )
+
+    hr_t = jnp.asarray(test["hr"])
+    lr_t = jnp.asarray(test["lr"])
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # Serving forward (train=False): the fused-chain path bench.py times.
+    pred = jax.jit(lambda x: model.apply(variables, x))(lr_t)
+    bicubic = jnp.clip(ops.upsample_bicubic(lr_t, 2), 0, 1)
+    results = {
+        "model": "lightweight",
+        "psnr": float(psnr(pred, hr_t)),
+        "ssim": float(ssim(pred, hr_t)),
+        "mae": float(mae(pred, hr_t)),
+        "mse": float(mse(pred, hr_t)),
+        "bicubic_psnr": float(psnr(bicubic, hr_t)),
+        "bicubic_ssim": float(ssim(bicubic, hr_t)),
+    }
+    results["psnr_gain_over_bicubic"] = results["psnr"] - results["bicubic_psnr"]
+    # The bf16 serving dtype bench.py runs at (weights + activations cast).
+    bf16 = model.clone(dtype=jnp.bfloat16)
+    pred_bf16 = jax.jit(lambda x: bf16.apply(variables, x))(lr_t).astype(jnp.float32)
+    results["psnr_bf16"] = float(psnr(pred_bf16, hr_t))
+    results["psnr_delta_bf16"] = results["psnr_bf16"] - results["psnr"]
     print(json.dumps(
         {k: round(v, 4) if isinstance(v, float) else v for k, v in results.items()}
     ))
