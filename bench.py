@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from nerve_tpu.models import LightweightSuperResolution
+from nerve_tpu.utils.platform_guard import guard_against_wedged_tunnel
 
 
 def run_lightweight_bench() -> dict:
@@ -116,7 +117,16 @@ def run_lightweight_bench() -> dict:
 
 
 def main() -> None:
-    print(json.dumps(run_lightweight_bench()))
+    tpu_ok = guard_against_wedged_tunnel()
+    result = run_lightweight_bench()
+    if not tpu_ok:
+        result["note"] = (
+            "TPU tunnel wedged at bench time (backend init hung); this is a "
+            "CPU proxy, not a chip measurement. Last hardware measurement of "
+            "this config: 63.7 fps (vs_baseline 1.06) — docs/perf_notes.md, "
+            "'Round 2: headline results'."
+        )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -350,6 +350,9 @@ ALL = {
 
 
 def main() -> None:
+    from nerve_tpu.utils.platform_guard import guard_against_wedged_tunnel
+
+    guard_against_wedged_tunnel()
     names = sys.argv[1:] or list(ALL)
     for name in names:
         try:

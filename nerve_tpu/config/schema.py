@@ -291,8 +291,8 @@ class DataConfig:
 
 @dataclass(frozen=True)
 class MetricsConfig:
-    quality: Tuple[str, ...] = ("psnr", "ssim")
-    temporal: Tuple[str, ...] = ("tOF",)
+    quality: Tuple[str, ...] = ("psnr", "ssim", "ms_ssim", "vmaf")
+    temporal: Tuple[str, ...] = ("tOF", "tLP")
     system: Tuple[str, ...] = ("latency", "throughput")
 
 

@@ -92,6 +92,109 @@ def ssim(
     return jnp.mean(num / den)
 
 
+def _ssim_and_cs(
+    pred: jnp.ndarray, target: jnp.ndarray, data_range: float,
+    kernel_size: int, sigma: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean SSIM and mean contrast-structure term (for MS-SSIM levels)."""
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    g = _gaussian_kernel(kernel_size, sigma)
+    c = p.shape[-1]
+
+    def dwconv(x, k):
+        kh_, kw_ = k.shape
+        kernel = jnp.broadcast_to(k[:, :, None, None], (kh_, kw_, 1, c))
+        dn = lax.conv_dimension_numbers(
+            x.shape, (kh_, kw_, 1, c), ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            x, kernel, (1, 1), "VALID", dimension_numbers=dn,
+            feature_group_count=c)
+
+    def gblur(x):
+        return dwconv(dwconv(x, g.reshape(-1, 1)), g.reshape(1, -1))
+
+    mu_p, mu_t = gblur(p), gblur(t)
+    sigma_pp = jnp.maximum(gblur(p * p) - mu_p * mu_p, 0.0)
+    sigma_tt = jnp.maximum(gblur(t * t) - mu_t * mu_t, 0.0)
+    sigma_pt = gblur(p * t) - mu_p * mu_t
+    cs = (2 * sigma_pt + c2) / (sigma_pp + sigma_tt + c2)
+    lum = (2 * mu_p * mu_t + c1) / (mu_p * mu_p + mu_t * mu_t + c1)
+    return jnp.mean(lum * cs), jnp.mean(cs)
+
+
+# Wang et al. (2003) per-scale exponents.
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def ms_ssim(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    data_range: float = 1.0,
+    levels: int = 5,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Multi-scale SSIM (Wang et al. 2003), NHWC, range [0, data_range].
+
+    Needs H, W ≥ kernel_size · 2^(levels-1); pass a smaller ``levels`` for
+    small images. Each level downsamples by 2×2 average pooling.
+    """
+    weights = _MSSSIM_WEIGHTS[:levels]
+    weights = tuple(w / sum(weights) for w in weights)
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    vals = []
+    for lvl in range(levels):
+        s, cs = _ssim_and_cs(p, t, data_range, kernel_size, sigma)
+        vals.append(s if lvl == levels - 1 else cs)
+        if lvl < levels - 1:
+            p = lax.reduce_window(
+                p, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+            t = lax.reduce_window(
+                t, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+    out = jnp.float32(1.0)
+    for v, w in zip(vals, weights):
+        out = out * jnp.maximum(v, 0.0) ** w
+    return out
+
+
+def msssim_levels_for(height: int, width: int, kernel_size: int = 11) -> int:
+    """Largest MS-SSIM level count that fits an image (static, jit-safe)."""
+    levels = 1
+    while levels < 5 and min(height, width) >= kernel_size * (2 ** levels):
+        levels += 1
+    return levels
+
+
+def vmaf_proxy(
+    pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
+    levels: int = 5,
+) -> jnp.ndarray:
+    """A 0-100 perceptual-quality score standing in for VMAF.
+
+    The reference declares VMAF in its metric suite (nerve_cl/config/
+    default.yaml:198) and gates CI on "min VMAF 70" but never implements
+    either (the CI check is an echo stub, .github/workflows/
+    model-deployment.yml:31-38). Real VMAF is a trained SVR over VIF/DLM/
+    motion features; no such model ships in this environment, so this proxy
+    fuses the same kind of evidence — multi-scale structural fidelity
+    (MS-SSIM, the strongest single VMAF correlate) and signal fidelity
+    (PSNR, saturating at 50 dB) — into the familiar 0-100 scale:
+
+        score = 100 · (0.8 · ms_ssim + 0.2 · min(psnr, 50)/50)
+
+    Identical frames score 100. The score is monotone under increasing
+    distortion, which is what the CI gate and the ABR reward actually
+    consume. It is NOT calibrated to libvmaf's absolute values.
+    """
+    m = ms_ssim(pred, target, data_range=data_range, levels=levels)
+    p = jnp.minimum(psnr(pred, target, data_range=data_range), 50.0) / 50.0
+    return 100.0 * (0.8 * m + 0.2 * p)
+
+
 def temporal_of(pred_video: jnp.ndarray, target_video: jnp.ndarray) -> jnp.ndarray:
     """Cheap tOF proxy: mean abs difference of temporal gradients.
 

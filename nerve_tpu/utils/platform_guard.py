@@ -1,0 +1,59 @@
+"""Guard against the axon TPU tunnel's hung-backend-init failure mode.
+
+The tunneled TPU platform has a failure mode where backend initialization
+(the first ``jax.devices()`` / ``jax.default_backend()`` call in a process)
+blocks FOREVER instead of failing (observed 2026-08-18 after a tunnel drop).
+For unattended entry points (the driver's bench / compile gates) a hang is
+worse than a CPU fallback: nothing gets recorded at all.
+
+``guard_against_wedged_tunnel()`` probes backend init in a subprocess with a
+timeout and, on hang or failure, pins ``jax_platforms=cpu`` for the calling
+process. It must run BEFORE the caller's first jax computation — once a
+process has entered the wedged init path, the lock is already held and
+post-hoc pinning cannot help.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import jax
+
+_checked: bool | None = None  # None = not probed; else the cached result
+
+
+def guard_against_wedged_tunnel(timeout_s: float = 240.0) -> bool:
+    """Pin the CPU backend if TPU-tunnel init would hang this process.
+
+    Returns True if the real (TPU) backend initializes normally, False if
+    the guard had to pin CPU. Idempotent per process; the subprocess probe
+    costs one interpreter startup (~10-30 s on a loaded 1-CPU host), which
+    is why it is opt-in per entry point rather than an import side effect.
+    """
+    global _checked
+    if _checked is not None:
+        return _checked
+    # If the platform list already excludes the tunneled platforms (e.g.
+    # tests/conftest.py pins "cpu"), the decision is made: no TPU, and no
+    # 10-30 s subprocess probe. The site default here is "axon,cpu".
+    plats = (jax.config.jax_platforms or "").split(",")
+    if plats != [""] and not any(p in ("axon", "tpu") for p in plats):
+        _checked = False
+        return False
+    _checked = True
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        if probe.returncode == 0:
+            return True  # backend init completes; use whatever jax picks.
+        reason = f"probe rc={probe.returncode}: {probe.stderr.strip()[-200:]}"
+    except subprocess.TimeoutExpired:
+        reason = f"backend init hung >{timeout_s:.0f}s (wedged tunnel)"
+    print(f"# TPU backend unavailable ({reason}); pinning CPU",
+          file=sys.stderr, flush=True)
+    jax.config.update("jax_platforms", "cpu")
+    _checked = False
+    return False

@@ -8,7 +8,18 @@ Runs structurally-identical kernel variants that disable pieces of the work:
   nolff     — full dense chain, skip the final 1x1 fusion matmul
   matonly   — matmuls with NO y_scratch store (result reduced to one lane)
 
+Round-3 store/VPU-gap candidates (exact math, different VPU schedules):
+  chunk_dx      — dx-major weight packing: each chunk takes ONE whole-chunk
+                  sublane shift, and its three tap adds become major-dim
+                  (row-offset) slices; vs chunk_dy's six sublane-offset
+                  slices per layer.
+  chunk_dy_pet  — the production chunk_dy schedule but the matmul emits
+                  bf16 directly (preferred_element_type), skipping the
+                  explicit f32→bf16 cast pass over each (ph, pw, 96) chunk.
+  chunk_dx_pet  — both of the above.
+
 Not part of the package — a measurement harness for docs/perf_notes.md.
+Small-shape interpret-mode parity: DIAG_INTERPRET=1 DIAG_TILES=32x120.
 """
 
 from __future__ import annotations
@@ -27,7 +38,24 @@ from nerve_tpu.ops.rdb import (
 from nerve_tpu.utils.profiling import measure_dispatch_overhead, timed_scan
 
 
-def make_kernel(th, tw, features, mode):
+def _pack_weights_dx(params, features):
+    """dx-major repack: column block (3·dx+dy) holds tap (dy, dx).
+
+    The centre tap (dy=1, dx=1) stays in block 4, so the bias row placement
+    matches _pack_weights.
+    """
+    packed = _pack_weights(params, features)
+    # packed[i] has columns ordered (3·dy+dx); dst block (3·dx+dy) = that.
+    out = []
+    for wcat in packed[:NUM_LAYERS]:
+        blocks = [wcat[:, (3 * dy + dx) * GROWTH:(3 * dy + dx + 1) * GROWTH]
+                  for dx in range(3) for dy in range(3)]
+        out.append(jnp.concatenate(blocks, axis=1))
+    out.append(packed[NUM_LAYERS])
+    return out
+
+
+def make_kernel(th, tw, features, mode, img_h=1080, img_w=1920):
     def kernel(b00_ref, b01_ref, b10_ref, b11_ref,
                w0_ref, w1_ref, w2_ref, w3_ref, w4_ref, lw_ref,
                out_ref, scratch, y_scratch):
@@ -57,11 +85,11 @@ def make_kernel(th, tw, features, mode):
                                 preferred_element_type=jnp.float32)
             return y.reshape(ph, pw, w_ref.shape[1])
 
-        def matmul_cols(w_ref, n0, n1):
+        def matmul_cols(w_ref, n0, n1, out_dtype=jnp.float32):
             k = w_ref.shape[0]
             x = scratch[:, :, :k].reshape(m, k)
             y = lax.dot_general(x, w_ref[:, n0:n1], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=out_dtype)
             return y.reshape(ph, pw, n1 - n0)
 
         negmask = None
@@ -71,8 +99,8 @@ def make_kernel(th, tw, features, mode):
             hi, wi = pl.program_id(1), pl.program_id(2)
             row_g = row_g + hi * th
             col_g = col_g + wi * tw
-            inval = ((row_g < HALO) | (row_g >= 1080 + HALO)
-                     | (col_g < HALO) | (col_g >= 1920 + HALO))
+            inval = ((row_g < HALO) | (row_g >= img_h + HALO)
+                     | (col_g < HALO) | (col_g >= img_w + HALO))
             negmask = inval.astype(jnp.float32) * (-1e9)
 
         def zero_strips_full():
@@ -86,12 +114,12 @@ def make_kernel(th, tw, features, mode):
             def _l():
                 scratch[:, 1:1 + HALO, :] = jnp.zeros((ph, HALO, KPAD), scratch.dtype)
             # serving 1080x1920 grid: bottom/right offsets for the last tiles
-            bot = 1080 + HALO - ((-(-1080 // th)) - 1) * th
+            bot = img_h + HALO - ((-(-img_h // th)) - 1) * th
             if bot < hh:
                 @pl.when(hi == nh - 1)
                 def _b():
                     scratch[1 + bot:1 + hh, :, :] = jnp.zeros((hh - bot, pw, KPAD), scratch.dtype)
-            rgt = 1920 + HALO - ((-(-1920 // tw)) - 1) * tw
+            rgt = img_w + HALO - ((-(-img_w // tw)) - 1) * tw
             if rgt < ww:
                 @pl.when(wi == nw - 1)
                 def _r():
@@ -123,6 +151,45 @@ def make_kernel(th, tw, features, mode):
                             acc = acc + y[dy:dy + hh, dx:dx + ww,
                                           dx * GROWTH:(dx + 1) * GROWTH].astype(jnp.float32)
                     f = jnp.maximum(acc + negmask, 0.0)
+                    ki = _layer_k(i, features)
+                    scratch[1:1 + hh, 1:1 + ww, ki:ki + GROWTH] = f.astype(scratch.dtype)
+                    return 0
+                return run
+            if mode in ("chunk_dx", "chunk_dx_pet"):
+                def run(_):
+                    # dx-major packing: one whole-chunk sublane shift, then
+                    # three major-dim (row-offset) tap adds.
+                    acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
+                    for dx in range(3):
+                        if mode == "chunk_dx_pet":
+                            y = matmul_cols(w_ref, 3 * dx * GROWTH,
+                                            (3 * dx + 3) * GROWTH,
+                                            out_dtype=jnp.bfloat16)
+                        else:
+                            y = matmul_cols(w_ref, 3 * dx * GROWTH,
+                                            (3 * dx + 3) * GROWTH)
+                            y = y.astype(jnp.bfloat16)
+                        ysub = y[:, dx:dx + ww, :]
+                        for dy in range(3):
+                            acc = acc + ysub[
+                                dy:dy + hh, :, dy * GROWTH:(dy + 1) * GROWTH
+                            ].astype(jnp.float32)
+                    f = jnp.maximum(acc, 0.0)
+                    ki = _layer_k(i, features)
+                    scratch[1:1 + hh, 1:1 + ww, ki:ki + GROWTH] = f.astype(scratch.dtype)
+                    return 0
+                return run
+            if mode == "chunk_dy_pet":
+                def run(_):
+                    acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
+                    for dy in range(3):
+                        y = matmul_cols(w_ref, 3 * dy * GROWTH,
+                                        (3 * dy + 3) * GROWTH,
+                                        out_dtype=jnp.bfloat16)
+                        for dx in range(3):
+                            acc = acc + y[dy:dy + hh, dx:dx + ww,
+                                          dx * GROWTH:(dx + 1) * GROWTH].astype(jnp.float32)
+                    f = jnp.maximum(acc, 0.0)
                     ki = _layer_k(i, features)
                     scratch[1:1 + hh, 1:1 + ww, ki:ki + GROWTH] = f.astype(scratch.dtype)
                     return 0
@@ -180,19 +247,36 @@ def make_kernel(th, tw, features, mode):
             return run
 
         w_all = (w0_ref, w1_ref, w2_ref, w3_ref, w4_ref)
-        if mode in ("flat", "flat_strips"):
+        flat_modes = ("flat", "flat_strips", "flat_dx_strips", "flat_dy_pet_strips",
+                      "flat_dx_pet_strips")
+        if mode in flat_modes:
+            dx_major = "dx" in mode
+            pet = "pet" in mode
             for i, w_ref in enumerate(w_all):
                 acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
-                for dy in range(3):
-                    y = matmul_cols(w_ref, 3 * dy * GROWTH, (3 * dy + 3) * GROWTH)
-                    y = y.astype(jnp.bfloat16)
-                    for dx in range(3):
-                        acc = acc + y[dy:dy + hh, dx:dx + ww,
-                                      dx * GROWTH:(dx + 1) * GROWTH].astype(jnp.float32)
+                for outer in range(3):  # dy for row-major packs, dx for dx-major
+                    if pet:
+                        y = matmul_cols(w_ref, 3 * outer * GROWTH,
+                                        (3 * outer + 3) * GROWTH,
+                                        out_dtype=jnp.bfloat16)
+                    else:
+                        y = matmul_cols(w_ref, 3 * outer * GROWTH,
+                                        (3 * outer + 3) * GROWTH)
+                        y = y.astype(jnp.bfloat16)
+                    if dx_major:
+                        ysub = y[:, outer:outer + ww, :]
+                        for dy in range(3):
+                            acc = acc + ysub[
+                                dy:dy + hh, :, dy * GROWTH:(dy + 1) * GROWTH
+                            ].astype(jnp.float32)
+                    else:
+                        for dx in range(3):
+                            acc = acc + y[outer:outer + hh, dx:dx + ww,
+                                          dx * GROWTH:(dx + 1) * GROWTH].astype(jnp.float32)
                 f = jnp.maximum(acc, 0.0)
                 ki = _layer_k(i, features)
                 scratch[1:1 + hh, 1:1 + ww, ki:ki + GROWTH] = f.astype(scratch.dtype)
-                if mode == "flat_strips":
+                if mode != "flat":
                     zero_strips_full()
         else:
             branches = [make_layer(i, w) for i, w in enumerate(w_all)]
@@ -217,11 +301,13 @@ def run_variant(x, params, th, tw, mode, over):
     nw = -(-w // tw)
     pad_h = (nh + 1) * th - (h + HALO)
     pad_w = (nw + 1) * tw - (w + HALO)
-    packed = _pack_weights(params, c)
+    dx_major = "dx" in mode
+    packed = (_pack_weights_dx if dx_major else _pack_weights)(params, c)
     hh, ww = th + 2 * HALO, tw + 2 * HALO
     ph = hh + 2
     pw = ww + 2 + ((-(ww + 2)) % 8)
-    kernel = make_kernel(th, tw, c, mode)
+    kernel = make_kernel(th, tw, c, mode, img_h=h, img_w=w)
+    interpret = bool(int(__import__("os").environ.get("DIAG_INTERPRET", "0")))
 
     quad = lambda sh, sw: pl.BlockSpec(  # noqa: E731
         (1, th, tw, c), lambda bi, hi, wi, sh=sh, sw=sw: (bi, hi + sh, wi + sw, 0),
@@ -244,9 +330,14 @@ def run_variant(x, params, th, tw, mode, over):
                             pltpu.VMEM((ph, pw, 9 * GROWTH), xx.dtype)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
         )(xp, xp, xp, xp, *pk)[:, :h, :w, :]
 
-    if mode in ("full", "chunk_dy", "chunk_dy_bf16", "chunk_tap", "chunk_negmask", "chunk_strips_full", "flat", "flat_strips"):
+    exact_modes = ("full", "chunk_dy", "chunk_dy_bf16", "chunk_tap",
+                   "chunk_negmask", "chunk_strips_full", "chunk_dx",
+                   "chunk_dx_pet", "chunk_dy_pet", "flat", "flat_strips",
+                   "flat_dx_strips", "flat_dy_pet_strips", "flat_dx_pet_strips")
+    if mode in exact_modes:
         from nerve_tpu.ops.rdb import _rdb_xla
         ref = jax.jit(_rdb_xla)(x, params)
         got = jax.jit(call)(x, packed)
@@ -258,9 +349,19 @@ def run_variant(x, params, th, tw, mode, over):
 
 
 def main():
+    import os
+    if int(os.environ.get("DIAG_INTERPRET", "0")):
+        # Interpret mode is a CPU correctness pass; never touch the tunnel
+        # (the axon plugin ignores JAX_PLATFORMS env — config is binding).
+        jax.config.update("jax_platforms", "cpu")
     key = jax.random.PRNGKey(0)
     c = 64
-    x = jax.random.normal(key, (1, 1080, 1920, c), jnp.bfloat16)
+    if int(os.environ.get("DIAG_INTERPRET", "0")):
+        # Small-shape correctness pass (CPU interpret mode): 2x2 tile grid
+        # with ragged edges so the boundary-strip paths are exercised.
+        x = jax.random.normal(key, (1, 56, 200, c), jnp.bfloat16)
+    else:
+        x = jax.random.normal(key, (1, 1080, 1920, c), jnp.bfloat16)
     params = []
     k = c
     for i in range(5):

@@ -29,7 +29,14 @@ from nerve_tpu import ops, training
 from nerve_tpu.config.schema import TrainingConfig
 from nerve_tpu.models import LightweightSuperResolution, SuperResolutionNet
 from nerve_tpu.utils import data as data_lib
-from nerve_tpu.utils.metrics import mae, mse, psnr, ssim
+from nerve_tpu.utils.metrics import (
+    mae, mse, msssim_levels_for, psnr, ssim, vmaf_proxy,
+)
+
+
+def _vmaf(pred, hr):
+    return float(vmaf_proxy(pred, hr, levels=msssim_levels_for(
+        int(hr.shape[1]), int(hr.shape[2]))))
 
 
 def main(argv=None):
@@ -109,6 +116,7 @@ def main(argv=None):
         "protocol": "motion" if args.motion else "repeat",
         "psnr": float(psnr(pred, hr_t)),
         "ssim": float(ssim(pred, hr_t)),
+        "vmaf_proxy": _vmaf(pred, hr_t),
         "mae": float(mae(pred, hr_t)),
         "mse": float(mse(pred, hr_t)),
         "bicubic_psnr": float(psnr(bicubic, hr_t)),
@@ -189,6 +197,7 @@ def _eval_lightweight(args, k_train, k_eval):
         "model": "lightweight",
         "psnr": float(psnr(pred, hr_t)),
         "ssim": float(ssim(pred, hr_t)),
+        "vmaf_proxy": _vmaf(pred, hr_t),
         "mae": float(mae(pred, hr_t)),
         "mse": float(mse(pred, hr_t)),
         "bicubic_psnr": float(psnr(bicubic, hr_t)),

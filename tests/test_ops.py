@@ -129,7 +129,6 @@ class TestFlowWarp:
         out = np.asarray(ops.flow_warp(jnp.asarray(feat), jnp.zeros((1, 8, 8, 2), np.float32)))
         np.testing.assert_allclose(out, feat, rtol=1e-5, atol=1e-5)
 
-
 class TestCorrelation:
     def _torch_corr(self, f1, f2, d):
         """The reference loop, verbatim semantics (efficient_layers.py:313-343)."""
@@ -280,3 +279,44 @@ class TestMetrics:
             (mu_x**2 + mu_y**2 + c1) * (sxx + syy + c2)
         )
         np.testing.assert_allclose(ours, float(s.mean()), rtol=1e-4, atol=1e-4)
+
+    def test_ms_ssim_identity_is_one(self, rng):
+        from nerve_tpu.utils.metrics import ms_ssim
+
+        x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        assert float(ms_ssim(x, x, levels=3)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_ms_ssim_single_level_equals_ssim(self, rng):
+        from nerve_tpu.utils.metrics import ms_ssim, ssim
+
+        x = rng.random((1, 32, 32, 3)).astype(np.float32)
+        y = np.clip(x + rng.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
+        a = float(ms_ssim(jnp.asarray(x), jnp.asarray(y), levels=1))
+        b = float(ssim(jnp.asarray(x), jnp.asarray(y)))
+        assert a == pytest.approx(b, abs=1e-5)
+
+    def test_ms_ssim_monotone_under_noise(self, rng):
+        from nerve_tpu.utils.metrics import ms_ssim
+
+        x = rng.random((1, 96, 96, 3)).astype(np.float32)
+        scores = []
+        for sd in (0.02, 0.08, 0.25):
+            y = np.clip(x + rng.normal(0, sd, x.shape), 0, 1).astype(np.float32)
+            scores.append(float(ms_ssim(jnp.asarray(x), jnp.asarray(y), levels=3)))
+        assert scores[0] > scores[1] > scores[2]
+
+    def test_vmaf_proxy_scale_and_monotonicity(self, rng):
+        import jax
+
+        from nerve_tpu.utils.metrics import vmaf_proxy
+
+        x = rng.random((1, 96, 96, 3)).astype(np.float32)
+        fn = jax.jit(lambda a, b: vmaf_proxy(a, b, levels=3))
+        perfect = float(fn(jnp.asarray(x), jnp.asarray(x)))
+        assert perfect == pytest.approx(100.0, abs=1e-3)
+        prev = perfect
+        for sd in (0.02, 0.08, 0.25):
+            y = np.clip(x + rng.normal(0, sd, x.shape), 0, 1).astype(np.float32)
+            score = float(fn(jnp.asarray(x), jnp.asarray(y)))
+            assert 0.0 <= score < prev
+            prev = score

@@ -36,6 +36,8 @@ class TestTrainStep:
         assert np.isfinite(history["final_loss"])
         # Should beat doing nothing: PSNR above 15 dB after a few epochs.
         assert history["final_psnr"] > 15.0
+        # The CI quality gate consumes final_vmaf (0-100 proxy score).
+        assert 0.0 <= history["final_vmaf"] <= 100.0
 
     def test_step_is_deterministic(self):
         data = _dataset(8)
