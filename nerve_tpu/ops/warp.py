@@ -42,7 +42,10 @@ from jax import lax
 
 
 def flow_warp(
-    features: jnp.ndarray, flow: jnp.ndarray, chunk_rows: int = 128
+    features: jnp.ndarray,
+    flow: jnp.ndarray,
+    chunk_rows: int = 128,
+    packed_gather: bool = False,
 ) -> jnp.ndarray:
     """Warp features backward along a flow field.
 
@@ -54,6 +57,11 @@ def flow_warp(
         chunk_rows: output rows gathered per sequential chunk. The 4-tap patch
             buffer is 4× the feature map (2.1 GB at 1080p×64ch); chunking
             bounds peak HBM to ~4·chunk_rows·W·C while the gathers stream.
+        packed_gather: express the per-pixel patch as a (2, 2·C) slice of a
+            (B, H, W·C) view instead of a (2, 2, C) slice of the NHWC tensor.
+            Same bytes, same math, but each slice is 2 contiguous runs
+            instead of 4 — relevant iff the gather engine's issue cost is
+            per contiguous run (measure before switching the default).
 
     Returns:
         (B, H, W, C): features sampled at (x + dx, y + dy), bilinear,
@@ -71,15 +79,17 @@ def flow_warp(
             fl, r0 = args
             # Shift dy so chunk-local row indices sample the full image.
             fl = fl.at[..., 1].add(r0.astype(fl.dtype))
-            return _warp_rows(features, fl)
+            return _warp_rows(features, fl, packed_gather)
 
         out = lax.map(one, (jnp.moveaxis(flow_chunks, 1, 0), row0))
         out = jnp.moveaxis(out, 0, 1).reshape(b, hp, w, c)
         return out[:, :h]
-    return _warp_rows(features, flow)
+    return _warp_rows(features, flow, packed_gather)
 
 
-def _warp_rows(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def _warp_rows(
+    features: jnp.ndarray, flow: jnp.ndarray, packed_gather: bool = False
+) -> jnp.ndarray:
     """Warp a (B, Hout, W, 2) flow block against the full (B, H, W, C) source.
 
     Output row r samples source coordinate (x + dx, dy) — i.e. the flow's dy
@@ -98,22 +108,42 @@ def _warp_rows(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     xs = jnp.clip(jnp.floor(x), 0.0, float(max(w - 2, 0))).astype(jnp.int32)
     ys = jnp.clip(jnp.floor(y), 0.0, float(max(h - 2, 0))).astype(jnp.int32)
 
-    # One gather of (2, 2, C) patches at (ys, xs) per output pixel.
-    starts = jnp.stack([ys, xs], axis=-1).reshape(b, hout * w, 2)
-    patches = lax.gather(
-        features,
-        starts,
-        lax.GatherDimensionNumbers(
-            offset_dims=(2, 3, 4),
-            collapsed_slice_dims=(),
-            start_index_map=(1, 2),
-            operand_batching_dims=(0,),
-            start_indices_batching_dims=(0,),
-        ),
-        slice_sizes=(1, min(2, h), min(2, w), c),
-        mode=lax.GatherScatterMode.CLIP,
-    )
     ph, pw = min(2, h), min(2, w)
+    if packed_gather:
+        # Same (2, 2, C) patch expressed as a (2, 2·C) slice of the
+        # (B, H, W·C) view: one contiguous run per source row instead of
+        # two, halving the slice-run count the gather engine must issue.
+        packed = features.reshape(b, h, w * c)
+        starts = jnp.stack([ys, xs * c], axis=-1).reshape(b, hout * w, 2)
+        patches = lax.gather(
+            packed,
+            starts,
+            lax.GatherDimensionNumbers(
+                offset_dims=(2, 3),
+                collapsed_slice_dims=(),
+                start_index_map=(1, 2),
+                operand_batching_dims=(0,),
+                start_indices_batching_dims=(0,),
+            ),
+            slice_sizes=(1, ph, pw * c),
+            mode=lax.GatherScatterMode.CLIP,
+        )
+    else:
+        # One gather of (2, 2, C) patches at (ys, xs) per output pixel.
+        starts = jnp.stack([ys, xs], axis=-1).reshape(b, hout * w, 2)
+        patches = lax.gather(
+            features,
+            starts,
+            lax.GatherDimensionNumbers(
+                offset_dims=(2, 3, 4),
+                collapsed_slice_dims=(),
+                start_index_map=(1, 2),
+                operand_batching_dims=(0,),
+                start_indices_batching_dims=(0,),
+            ),
+            slice_sizes=(1, ph, pw, c),
+            mode=lax.GatherScatterMode.CLIP,
+        )
     patches = patches.reshape(b, hout, w, ph, pw, c)
 
     def tent(coord, start, size):

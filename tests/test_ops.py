@@ -129,6 +129,28 @@ class TestFlowWarp:
         out = np.asarray(ops.flow_warp(jnp.asarray(feat), jnp.zeros((1, 8, 8, 2), np.float32)))
         np.testing.assert_allclose(out, feat, rtol=1e-5, atol=1e-5)
 
+    def test_packed_gather_matches_default(self, rng):
+        """The (B,H,W·C)-view gather is the same taps in the same order —
+        outputs must be bitwise identical, including clamped edge flows."""
+        b, h, w, c = 2, 13, 17, 8
+        feat = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+        flow = jnp.asarray((rng.standard_normal((b, h, w, 2)) * 6).astype(np.float32))
+        base = np.asarray(ops.flow_warp(feat, flow, chunk_rows=0))
+        packed = np.asarray(ops.flow_warp(feat, flow, chunk_rows=0, packed_gather=True))
+        np.testing.assert_array_equal(packed, base)
+        # chunked + packed (the serving configuration shape)
+        base_c = np.asarray(ops.flow_warp(feat, flow, chunk_rows=4))
+        packed_c = np.asarray(ops.flow_warp(feat, flow, chunk_rows=4, packed_gather=True))
+        np.testing.assert_array_equal(packed_c, base_c)
+
+    def test_packed_gather_single_column_edge(self, rng):
+        feat = jnp.asarray(rng.standard_normal((1, 6, 1, 4)).astype(np.float32))
+        flow = jnp.asarray((rng.standard_normal((1, 6, 1, 2)) * 2).astype(np.float32))
+        base = np.asarray(ops.flow_warp(feat, flow, chunk_rows=0))
+        packed = np.asarray(ops.flow_warp(feat, flow, chunk_rows=0, packed_gather=True))
+        np.testing.assert_array_equal(packed, base)
+
+
 class TestCorrelation:
     def _torch_corr(self, f1, f2, d):
         """The reference loop, verbatim semantics (efficient_layers.py:313-343)."""
