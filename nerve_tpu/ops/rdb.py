@@ -57,6 +57,16 @@ KPAD = 256  # slot layout below, padded to 2 MXU K-tiles
 BIAS_SLOT = 8
 FEAT_OFF = BIAS_SLOT
 
+# Chunk-schedule switches (exact math either way; all four combinations are
+# interpret-parity-tested, hardware-timed by scripts/diag_rdb.py — see
+# docs/perf_notes.md "Remaining for round 3" #1). Flip after measurement.
+DX_MAJOR = False  # dx-major weight packing: per-chunk whole sublane shift,
+#                   three major-dim (row) tap adds — vs dy-major's six
+#                   sublane-offset slices per layer.
+PET_CHUNKS = False  # matmul emits the scratch dtype directly
+#                     (preferred_element_type), skipping the explicit
+#                     f32→bf16 cast pass over each (ph, pw, 96) chunk.
+
 
 def _layer_k(i: int, features: int) -> int:
     return FEAT_OFF + features + GROWTH * i
@@ -85,6 +95,25 @@ def _pack_weights(params: Sequence[jnp.ndarray], features: int):
     return packed
 
 
+def _pack_weights_dx(params: Sequence[jnp.ndarray], features: int):
+    """dx-major repack: column block (3·dx+dy) holds tap (dy, dx).
+
+    A permutation of `_pack_weights`'s column blocks; the centre tap
+    (dy=1, dx=1) stays in block 4, so the bias row placement is unchanged.
+    """
+    packed = _pack_weights(params, features)
+    out = []
+    for wcat in packed[:NUM_LAYERS]:
+        blocks = [
+            wcat[:, (3 * dy + dx) * GROWTH : (3 * dy + dx + 1) * GROWTH]
+            for dx in range(3)
+            for dy in range(3)
+        ]
+        out.append(jnp.concatenate(blocks, axis=1))
+    out.append(packed[NUM_LAYERS])
+    return out
+
+
 def _rdb_kernel(
     b00_ref,
     b01_ref,
@@ -106,6 +135,8 @@ def _rdb_kernel(
     img_w: int,
     nh_static: int,
     nw_static: int,
+    dx_major: bool = DX_MAJOR,
+    pet_chunks: bool = PET_CHUNKS,
 ):
     """Fused RDB on NHWC tiles.
 
@@ -192,7 +223,8 @@ def _rdb_kernel(
     scratch[1 + th : 1 + hh, 1 : 1 + tw, f0:f1] = b10_ref[0, : hh - th]
     scratch[1 + th : 1 + hh, 1 + tw : 1 + ww, f0:f1] = b11_ref[0, : hh - th, : ww - tw]
 
-    def matmul(w_ref, n0=None, n1=None):  # (M, K) · (K, n1-n0) → (ph, pw, ·)
+    def matmul(w_ref, n0=None, n1=None, out_dtype=jnp.float32):
+        # (M, K) · (K, n1-n0) → (ph, pw, ·).
         # K = the layer's exact contraction width (a lane slice from 0 — the
         # slots beyond it belong to not-yet-written layers and carry zero
         # weights anyway).
@@ -201,7 +233,7 @@ def _rdb_kernel(
         wcols = w_ref[:] if n0 is None else w_ref[:, n0:n1]
         y = lax.dot_general(
             x, wcols, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=out_dtype,
         )
         return y.reshape(ph, pw, wcols.shape[1])
 
@@ -215,13 +247,28 @@ def _rdb_kernel(
     # masking variant (scripts/diag_rdb.py).
     for i, w_ref in enumerate((w0_ref, w1_ref, w2_ref, w3_ref, w4_ref)):
         acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
-        for dy in range(3):
-            y = matmul(w_ref, 3 * dy * GROWTH, (3 * dy + 3) * GROWTH)
-            y = y.astype(scratch.dtype)
-            for dx in range(3):
-                acc = acc + y[
-                    dy : dy + hh, dx : dx + ww, dx * GROWTH : (dx + 1) * GROWTH
-                ].astype(jnp.float32)
+        # `outer` iterates dy (row-major packing) or dx (dx-major packing).
+        for outer in range(3):
+            if pet_chunks:
+                y = matmul(
+                    w_ref, 3 * outer * GROWTH, (3 * outer + 3) * GROWTH,
+                    out_dtype=scratch.dtype,
+                )
+            else:
+                y = matmul(w_ref, 3 * outer * GROWTH, (3 * outer + 3) * GROWTH)
+                y = y.astype(scratch.dtype)
+            if dx_major:
+                ysub = y[:, outer : outer + ww, :]
+                for dy in range(3):
+                    acc = acc + ysub[
+                        dy : dy + hh, :, dy * GROWTH : (dy + 1) * GROWTH
+                    ].astype(jnp.float32)
+            else:
+                for dx in range(3):
+                    acc = acc + y[
+                        outer : outer + hh, dx : dx + ww,
+                        dx * GROWTH : (dx + 1) * GROWTH,
+                    ].astype(jnp.float32)
         f = jnp.maximum(acc, 0.0)
         ki = _layer_k(i, features)
         scratch[1 : 1 + hh, 1 : 1 + ww, ki : ki + GROWTH] = f.astype(scratch.dtype)
@@ -240,6 +287,8 @@ def _rdb_pallas_nhwc(
     params: Sequence[jnp.ndarray],
     th: int = 32,
     tw: int = 240,
+    dx_major: bool | None = None,
+    pet_chunks: bool | None = None,
 ) -> jnp.ndarray:
     """One fused RDB on an NHWC (B, H, W, C) array — no layout changes.
 
@@ -259,10 +308,12 @@ def _rdb_pallas_nhwc(
     pad_w = (nw + 1) * tw - (w + HALO)
     xp = jnp.pad(x, ((0, 0), (HALO, pad_h), (HALO, pad_w), (0, 0)))
 
-    packed = _pack_weights(params, c)
+    dx_major = DX_MAJOR if dx_major is None else dx_major
+    pet_chunks = PET_CHUNKS if pet_chunks is None else pet_chunks
+    packed = (_pack_weights_dx if dx_major else _pack_weights)(params, c)
     kernel = functools.partial(
         _rdb_kernel, th=th, tw=tw, features=c, img_h=h, img_w=w,
-        nh_static=nh, nw_static=nw,
+        nh_static=nh, nw_static=nw, dx_major=dx_major, pet_chunks=pet_chunks,
     )
     quad_spec = lambda sh, sw: pl.BlockSpec(  # noqa: E731
         (1, th, tw, c),

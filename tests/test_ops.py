@@ -216,9 +216,13 @@ class TestFusedRDB:
         params.append(jnp.zeros((c,), jnp.float32))
         return tuple(params)
 
-    def test_pallas_matches_xla_formulation(self, rng):
+    @pytest.mark.parametrize("dx_major", [False, True])
+    @pytest.mark.parametrize("pet_chunks", [False, True])
+    def test_pallas_matches_xla_formulation(self, rng, dx_major, pet_chunks):
         """Fused kernel (interpret mode) vs the XLA RDB — tolerance covers the
-        MXU's default bf16 operand rounding, which interpret mode emulates."""
+        MXU's default bf16 operand rounding, which interpret mode emulates.
+        All four chunk schedules (dy/dx-major packing × f32/native-dtype
+        matmul emission) are exact-math variants and must agree."""
         from jax.experimental.pallas import tpu as pltpu
 
         from nerve_tpu.ops import rdb
@@ -227,8 +231,12 @@ class TestFusedRDB:
         params = self._params(rng)
         ref = rdb._rdb_xla(x, params)
         with pltpu.force_tpu_interpret_mode():
-            single = rdb._rdb_pallas(x, params)
-            tiled = rdb._rdb_pallas(x, params, th=12, tw=16)
+            single = rdb._rdb_pallas_nhwc(
+                x, params, th=16, tw=120, dx_major=dx_major, pet_chunks=pet_chunks
+            )
+            tiled = rdb._rdb_pallas_nhwc(
+                x, params, th=12, tw=16, dx_major=dx_major, pet_chunks=pet_chunks
+            )
         # Exact incl. the outermost pixels: the kernel re-zeros out-of-image
         # halo strips between layers, matching per-conv SAME zero padding.
         scale = float(jnp.max(jnp.abs(ref)))
