@@ -40,6 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 BIAS_SLOT = 8  # channel 0 carries ones; features start here
 MIN_NOUT = 64  # pad tiny conv outputs up to this many matmul lanes
 
+# Emit 3×3 matmul chunks in the scratch dtype directly (preferred_element_
+# type) instead of f32 + explicit cast — exact-math schedule variant shared
+# with nerve_tpu.ops.rdb (PET_CHUNKS there); flip after hardware timing.
+PET_CHUNKS = False
+
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -103,7 +108,7 @@ def _pack_chain_weights(ws, bs):
 
 def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int,
                   img_h: int, img_w: int, nh_static: int, nw_static: int,
-                  cins):
+                  cins, pet_chunks: bool = False):
     """refs = 4·len(cins) quad blocks, L weight refs, out_ref, scratches.
 
     ``cins``: per-input channel counts — multiple inputs are concatenated
@@ -181,11 +186,11 @@ def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int,
         scr_a[1 + th : 1 + hh, 1 + tw : 1 + ww, f0:f1] = b11_ref[0, : hh - th, : ww - tw]
         off += ci
 
-    def matmul(src, k, w_ref, n0, n1):
+    def matmul(src, k, w_ref, n0, n1, out_dtype=jnp.float32):
         x = src[:, :, :k].reshape(m, k)
         y = lax.dot_general(
             x, w_ref[:, n0:n1], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=out_dtype,
         )
         return y.reshape(ph, pw, n1 - n0)
 
@@ -212,8 +217,12 @@ def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int,
         elif kind == "3x3":
             acc = jnp.zeros((hh, ww, npad), jnp.float32)
             for dy in range(3):
-                y = matmul(src, k, w_ref, 3 * dy * npad, (3 * dy + 3) * npad)
-                y = y.astype(src.dtype)
+                if pet_chunks:
+                    y = matmul(src, k, w_ref, 3 * dy * npad, (3 * dy + 3) * npad,
+                               out_dtype=src.dtype)
+                else:
+                    y = matmul(src, k, w_ref, 3 * dy * npad, (3 * dy + 3) * npad)
+                    y = y.astype(src.dtype)
                 for dx in range(3):
                     acc = acc + y[
                         dy : dy + hh, dx : dx + ww, dx * npad : (dx + 1) * npad
@@ -242,8 +251,10 @@ def _chain_pallas(
     acts,
     th: int = 32,
     tw: int = 120,
+    pet_chunks: bool | None = None,
 ) -> jnp.ndarray:
     """``xs``: one array or a sequence (fused channel-concat, see kernel)."""
+    pet_chunks = PET_CHUNKS if pet_chunks is None else pet_chunks
     if isinstance(xs, (list, tuple)):
         xs = list(xs)
     else:
@@ -287,6 +298,7 @@ def _chain_pallas(
     kernel = functools.partial(
         _chain_kernel, th=th, tw=tw, specs=specs, out_cout=out_cout, halo=halo,
         img_h=h, img_w=w, nh_static=nh, nw_static=nw, cins=tuple(cins),
+        pet_chunks=pet_chunks,
     )
     quad = lambda ci, sh, sw: pl.BlockSpec(  # noqa: E731
         (1, th, tw, ci),

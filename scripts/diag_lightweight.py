@@ -93,6 +93,13 @@ def tile_sweep(model, variables, frame, n=32):
 
 def main():
     assert jax.default_backend() == "tpu"
+    if "--pet" in sys.argv:
+        # Native-dtype matmul emission in the fused chains (exact math;
+        # tests/test_conv_chain.py) — compare ms/frame against the default.
+        from nerve_tpu.ops import conv_chain
+
+        conv_chain.PET_CHUNKS = True
+        print("PET_CHUNKS=True")
     h, w = 1080, 1920
     n = 32
     model = LightweightSuperResolution(scale_factor=2, dtype=jnp.bfloat16)

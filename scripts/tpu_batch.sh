@@ -17,6 +17,7 @@ run() {
 run python -u scripts/tpu_gate.py
 run python -u scripts/diag_lightweight.py --tiles
 run python -u scripts/diag_lightweight.py
+run python -u scripts/diag_lightweight.py --tiles --pet
 run python -u scripts/diag_corr.py
 # Round-3 RDB store/VPU-gap candidates vs the production schedule
 # (flat_strips): dx-major packing and/or bf16 matmul emission.

@@ -39,14 +39,16 @@ class TestConvChain:
             got = cc.conv_chain_apply(x, params, use_pallas=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
-    def test_multi_tile_matches_single(self, rng):
+    @pytest.mark.parametrize("pet_chunks", [False, True])
+    def test_multi_tile_matches_single(self, rng, pet_chunks):
         x = jnp.asarray(rng.standard_normal((1, 21, 27, 8)).astype(np.float32)) * 0.5
         params = [(*_mk(rng, 3, 8, 8), "relu"), (*_mk(rng, 3, 8, 8), "none")]
         ws, bs = tuple(p[0] for p in params), tuple(p[1] for p in params)
         acts = ("relu", "none")
         ref = cc._chain_xla(x, ws, bs, acts)
         with pltpu.force_tpu_interpret_mode():
-            tiled = cc._chain_pallas(x, ws, bs, acts, th=8, tw=16)
+            tiled = cc._chain_pallas(x, ws, bs, acts, th=8, tw=16,
+                                     pet_chunks=pet_chunks)
         np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=2e-6)
 
     def test_depthwise_whole_body_chain(self, rng):
