@@ -124,6 +124,73 @@ def spatial_sr_apply(
     return run(variables, frames)
 
 
+def spatial_lightweight_apply(
+    model,
+    variables,
+    frames: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+    halo: int = 8,
+    data_axis: Optional[str] = None,
+    output_layout: str = "nhwc",
+):
+    """Height-sharded LightweightSuperResolution forward over ``mesh[axis]``.
+
+    The ≥60 fps serving config scaled across chips: latency scaling for a
+    SINGLE stream (vs trivially data-parallel independent streams). The
+    lightweight body is 6 3×3-support layers + a radius-2 bicubic base, so
+    ``halo=8`` already gives slab-boundary exactness (same contract as
+    ``spatial_sr_apply``: interior exact, image top/bottom edge band is a
+    different-but-valid boundary condition). The per-shard forward is the
+    same whole-body fused Pallas chain as single-chip serving.
+
+    Args:
+        frames: (B, H, W, C) with H divisible by the axis size.
+        output_layout: 'nhwc' (B, sH, sW, C), 'planar' (B, C, sH, sW) or
+            'packed' (B, sH, sW·C) — the sharded output keeps its H (or sH)
+            dimension partitioned over ``axis`` in each layout.
+    """
+    n = mesh.shape[axis]
+    b, h, w, c = frames.shape
+    if h % n != 0:
+        raise ValueError(f"H={h} not divisible by {axis} axis size {n}")
+    if data_axis is not None and b % mesh.shape[data_axis] != 0:
+        raise ValueError(
+            f"B={b} not divisible by {data_axis} axis size {mesh.shape[data_axis]}"
+        )
+    s = model.scale_factor
+    halo = min(halo, h // n)
+    out_specs = {
+        "nhwc": P(data_axis, axis, None, None),
+        "planar": P(data_axis, None, axis, None),
+        "packed": P(data_axis, axis, None),
+    }
+    if output_layout not in out_specs:
+        raise ValueError(f"unknown output_layout {output_layout!r}")
+    crop_axis = {"nhwc": 1, "planar": 2, "packed": 1}[output_layout]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis, axis, None, None)),
+        out_specs=out_specs[output_layout],
+        check_vma=False,
+    )
+    def run(v, fr):
+        ext = _exchange_halo(fr, halo, axis)  # (B, Hs+2halo, W, C)
+        out = model.apply(v, ext, False, output_layout)
+        lo = s * halo
+        hi = out.shape[crop_axis] - s * halo
+        return lax.slice_in_dim(out, lo, hi, axis=crop_axis)
+
+    return run(variables, frames)
+
+
 def spatial_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
     """Sharding for (B, T, H, W, C) video tensors: H over ``axis``."""
     return NamedSharding(mesh, P(None, None, axis, None, None))
+
+
+def frame_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
+    """Sharding for (B, H, W, C) single-frame tensors: H over ``axis``."""
+    return NamedSharding(mesh, P(None, axis, None, None))

@@ -85,3 +85,79 @@ def test_spatial_rejects_indivisible_height(mesh4):
     frames = jnp.zeros((1, 3, 30, 16, 3))
     with pytest.raises(ValueError, match="not divisible"):
         spatial_sr_apply(model, {}, frames, mesh4)
+
+
+class TestSpatialLightweight:
+    """Height-sharded LightweightSuperResolution (the ≥60 fps config)."""
+
+    def _model_vars(self, key, h=64, w=24):
+        from nerve_tpu.models import LightweightSuperResolution
+
+        model = LightweightSuperResolution(scale_factor=2)
+        frame = jax.random.uniform(key, (1, h, w, 3), jnp.float32)
+        variables = model.init(key, frame)
+        return model, variables, frame
+
+    def test_exact_interior(self, mesh4=None):
+        from nerve_tpu.parallel.spatial import spatial_lightweight_apply
+
+        if jax.device_count() < 4:
+            pytest.skip("needs >= 4 devices")
+        mesh = make_mesh(data=1, model=4)
+        key = jax.random.PRNGKey(3)
+        model, variables, frame = self._model_vars(key)
+        want = model.apply(variables, frame)
+        got = spatial_lightweight_apply(model, variables, frame, mesh, halo=8)
+        assert got.shape == want.shape == (1, 128, 48, 3)
+        # halo 8 ≥ receptive field (6 conv rows + bicubic radius 2): every
+        # row outside the image top/bottom edge band is exact, including all
+        # slab boundaries.
+        r = 2 * 8
+        np.testing.assert_allclose(
+            np.asarray(got[:, r:-r]), np.asarray(want[:, r:-r]), atol=1e-5
+        )
+        assert float(jnp.max(jnp.abs(got - want))) < 0.5
+
+    @pytest.mark.parametrize("layout", ["planar", "packed"])
+    def test_layouts_match_nhwc(self, layout):
+        from nerve_tpu.parallel.spatial import spatial_lightweight_apply
+
+        if jax.device_count() < 4:
+            pytest.skip("needs >= 4 devices")
+        mesh = make_mesh(data=1, model=4)
+        key = jax.random.PRNGKey(4)
+        model, variables, frame = self._model_vars(key)
+        nhwc = np.asarray(
+            spatial_lightweight_apply(model, variables, frame, mesh, halo=8)
+        )
+        got = np.asarray(
+            spatial_lightweight_apply(
+                model, variables, frame, mesh, halo=8, output_layout=layout
+            )
+        )
+        if layout == "planar":
+            ref = np.transpose(nhwc, (0, 3, 1, 2))
+        else:
+            ref = nhwc.reshape(nhwc.shape[0], nhwc.shape[1], -1)
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_combined_data_model(self):
+        from nerve_tpu.parallel.spatial import spatial_lightweight_apply
+
+        if jax.device_count() < 8:
+            pytest.skip("needs >= 8 devices")
+        mesh = make_mesh(data=2, model=4)
+        key = jax.random.PRNGKey(5)
+        from nerve_tpu.models import LightweightSuperResolution
+
+        model = LightweightSuperResolution(scale_factor=2)
+        frames = jax.random.uniform(key, (2, 64, 16, 3), jnp.float32)
+        variables = model.init(key, frames[:1])
+        want = model.apply(variables, frames)
+        got = spatial_lightweight_apply(
+            model, variables, frames, mesh, halo=8, data_axis="data"
+        )
+        r = 2 * 8
+        np.testing.assert_allclose(
+            np.asarray(got[:, r:-r]), np.asarray(want[:, r:-r]), atol=1e-5
+        )
