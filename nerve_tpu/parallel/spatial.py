@@ -124,6 +124,75 @@ def spatial_sr_apply(
     return run(variables, frames)
 
 
+def spatial_streaming_apply(
+    model,
+    variables,
+    video: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+    halo: int = 64,
+    data_axis: Optional[str] = None,
+):
+    """Height-sharded STREAMING video SR over ``mesh[axis]``.
+
+    The full-model serving pipeline (``models.streaming`` — scan with cached
+    per-frame features) run as one SPMD program: each scan step halo-extends
+    only the ONE new frame (two ppermutes per step over ICI), extracts its
+    features once, and keeps the carry as per-shard extended slabs. Combines
+    the streaming pipeline's (2w+1)× feature-extraction saving with
+    ``spatial_sr_apply``'s latency scaling; same exactness contract (interior
+    rows exact when conv stencil + boundary flow displacement ≤ halo).
+
+    Args:
+        video: (B, T, H, W, C) with H divisible by the axis size.
+
+    Returns:
+        (B, T, H·s, W·s, C), H·s partitioned over ``axis``.
+    """
+    from nerve_tpu.models import streaming as streaming_lib
+
+    n = mesh.shape[axis]
+    b, t, h, w, c = video.shape
+    if h % n != 0:
+        raise ValueError(f"H={h} not divisible by {axis} axis size {n}")
+    if data_axis is not None and b % mesh.shape[data_axis] != 0:
+        raise ValueError(
+            f"B={b} not divisible by {data_axis} axis size {mesh.shape[data_axis]}"
+        )
+    s = model.scale_factor
+    halo = min(halo, h // n)
+    sharded_model = model.clone(spatial_axis=axis, spatial_halo=halo)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis, None, axis, None, None)),
+        out_specs=P(data_axis, None, axis, None, None),
+        check_vma=False,
+    )
+    def run(v, vid):
+        # vid: (B, T, Hs, W, C) local slabs.
+        tw = sharded_model.temporal_window
+
+        def ext(fr):  # one frame (B, Hs, W, C) → (B, Hs+2·halo, W, C)
+            return _exchange_halo(fr, halo, axis)
+
+        carry0 = streaming_lib.streaming_prime(sharded_model, v, ext(vid[:, 0]))
+        tail = jnp.repeat(vid[:, -1:], tw, axis=1)
+        feed = jnp.concatenate([vid[:, 1:], tail], axis=1)
+
+        def body(carry, x_t):
+            return streaming_lib.streaming_step(sharded_model, v, carry, ext(x_t))
+
+        xs = jnp.moveaxis(feed, 1, 0)
+        _, ys = jax.lax.scan(body, carry0, xs)
+        ys = jnp.moveaxis(ys, 0, 1)        # (B, steps, (Hs+2halo)·s, W·s, C)
+        ys = ys[:, ys.shape[1] - t :]
+        return ys[:, :, s * halo : ys.shape[2] - s * halo]
+
+    return run(variables, video)
+
+
 def spatial_lightweight_apply(
     model,
     variables,

@@ -161,3 +161,34 @@ class TestSpatialLightweight:
         np.testing.assert_allclose(
             np.asarray(got[:, r:-r]), np.asarray(want[:, r:-r]), atol=1e-5
         )
+
+
+class TestSpatialStreaming:
+    """Height-sharded streaming pipeline vs the single-device scan."""
+
+    def test_exact_interior_vs_single_device_streaming(self):
+        from nerve_tpu.models.streaming import enhance_video_streaming
+        from nerve_tpu.parallel.spatial import spatial_streaming_apply
+
+        if jax.device_count() < 4:
+            pytest.skip("needs >= 4 devices")
+        mesh = make_mesh(data=1, model=4)
+        key = jax.random.PRNGKey(6)
+        model = SuperResolutionNet(
+            scale_factor=2, num_features=16, num_residual_blocks=1,
+            temporal_window=1,
+        )
+        video = jax.random.uniform(key, (1, 4, 64, 16, 3), jnp.float32)
+        variables = model.init(key, video[:, :3])
+
+        want = enhance_video_streaming(model, variables, video)
+        got = spatial_streaming_apply(model, variables, video, mesh, halo=16)
+        assert got.shape == want.shape == (1, 4, 128, 32, 3)
+        # halo = slab height ≥ the tiny net's receptive field: every frame's
+        # interior rows (away from the image top/bottom edge band) are exact,
+        # including all slab boundaries.
+        r = 2 * 18
+        np.testing.assert_allclose(
+            np.asarray(got[:, :, r:-r]), np.asarray(want[:, :, r:-r]), atol=1e-5
+        )
+        assert float(jnp.max(jnp.abs(got - want))) < 0.5
