@@ -41,6 +41,28 @@ def _to_nhwc(x: Array) -> jnp.ndarray:
     return jnp.moveaxis(x, -3, -1)
 
 
+def _frames_nhwc(x: Array) -> jnp.ndarray:
+    """Frame ingest: (..., C, H, W) → (..., H, W, C) float in [0, 1].
+
+    uint8 video (the realistic serving input; half the host→device bytes of
+    f32) is normalised by 1/255 on device. Floats pass through unchanged —
+    the reference's float-[0,1] contract. Corruption MASKS must not take
+    this path (a uint8 0/1 mask would become 1/255).
+    """
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    return jnp.moveaxis(x, -3, -1)
+
+
+def to_uint8(frames: Array) -> jnp.ndarray:
+    """[0, 1] float frames (any layout) → rounded uint8 for display/encode."""
+    x = jnp.asarray(frames)
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) * 255.0), 0.0, 255.0
+    ).astype(jnp.uint8)
+
+
 def _to_nchw(x: jnp.ndarray) -> jnp.ndarray:
     """(..., H, W, C) → (..., C, H, W)."""
     return jnp.moveaxis(x, -1, -3)
@@ -100,7 +122,7 @@ class SuperResolutionNet(_StatefulModule):
 
     def __call__(self, lr_frames: Array) -> jnp.ndarray:
         """(B, T, C, H, W) → (B, C, H·s, W·s) in [0, 1]."""
-        out = self._apply(self.variables, _to_nhwc(lr_frames))
+        out = self._apply(self.variables, _frames_nhwc(lr_frames))
         return _to_nchw(out)
 
     def forward_single(self, lr_frame: Array) -> jnp.ndarray:
@@ -131,7 +153,7 @@ class LightweightSuperResolution(_StatefulModule):
         self._apply = jax.jit(lambda v, x: module.apply(v, x))
 
     def __call__(self, x: Array) -> jnp.ndarray:
-        return _to_nchw(self._apply(self.variables, _to_nhwc(x)))
+        return _to_nchw(self._apply(self.variables, _frames_nhwc(x)))
 
 
 class FrameRecoveryNet(_StatefulModule):
@@ -169,8 +191,8 @@ class FrameRecoveryNet(_StatefulModule):
         corruption_mask: Optional[Array] = None,
     ) -> jnp.ndarray:
         """(B,C,H,W), (B,T,C,H,W), (B,1,H,W) → (B,C,H,W)."""
-        frame = _to_nhwc(corrupted_frame)
-        refs = _to_nhwc(reference_frames)
+        frame = _frames_nhwc(corrupted_frame)
+        refs = _frames_nhwc(reference_frames)
         if corruption_mask is None:
             b, h, w, _ = frame.shape
             mask = jnp.zeros((b, h, w, 1), frame.dtype)
@@ -227,7 +249,7 @@ class EnhancementEngine:
         enhancement_strength: Optional[float] = None,
     ) -> Dict[str, jnp.ndarray]:
         """(B, T, C, H, W) [+ mask (B, 1, H, W)] → dict of (B, C, H', W')."""
-        x = _to_nhwc(frames)
+        x = _frames_nhwc(frames)
         if center_idx is not None or enhancement_strength is not None:
             # Non-default static args: apply without the cached jit.
             strength = (
@@ -259,7 +281,7 @@ class EnhancementEngine:
         squeeze = v.ndim == 4
         if squeeze:
             v = v[None]
-        x = _to_nhwc(v)
+        x = _frames_nhwc(v)
         if corruption_masks is None:
             out = self._enhance_video(self.variables, x)
         else:
@@ -329,7 +351,7 @@ class AdaptiveEnhancementEngine(EnhancementEngine):
 
     def estimate_complexity(self, frame):
         """(B, C, H, W) → (B, 1) complexity in [0, 1]."""
-        x = _to_nhwc(frame)
+        x = _frames_nhwc(frame)
         return self.module.apply(
             self.variables, x, method=_engine.AdaptiveEnhancementEngine.estimate_complexity
         )
@@ -346,7 +368,7 @@ class AdaptiveEnhancementEngine(EnhancementEngine):
             self.config = self.config.with_mode(mode)
             self._build()
         out = self._adaptive(
-            self.variables, _to_nhwc(frames),
+            self.variables, _frames_nhwc(frames),
             jnp.float32(resource_budget), jnp.float32(user_quality_preference),
         )
         result = {

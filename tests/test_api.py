@@ -108,3 +108,31 @@ class TestEnhancementEngineAPI:
         frames = rng.random((1, 5, 3, 16, 16)).astype(np.float32)
         out = engine(frames)
         assert "recovered" not in out
+
+
+class TestUint8Ingest:
+    """uint8 video frames (the realistic serving input) are normalised by
+    1/255 at the facade boundary; float inputs pass through unchanged."""
+
+    def test_sr_uint8_equals_float(self, rng):
+        net = api.SuperResolutionNet(
+            num_features=8, num_residual_blocks=1, temporal_window=1
+        )
+        u8 = rng.integers(0, 256, (1, 3, 3, 16, 16), dtype=np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+        np.testing.assert_allclose(
+            np.asarray(net(u8)), np.asarray(net(f32)), atol=1e-6
+        )
+
+    def test_lightweight_uint8_equals_float(self, rng):
+        net = api.LightweightSuperResolution()
+        u8 = rng.integers(0, 256, (1, 3, 16, 16), dtype=np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+        np.testing.assert_allclose(
+            np.asarray(net(u8)), np.asarray(net(f32)), atol=1e-6
+        )
+
+    def test_to_uint8_roundtrip(self, rng):
+        u8 = rng.integers(0, 256, (2, 3, 8, 8), dtype=np.uint8)
+        f = jnp.asarray(u8.astype(np.float32) / 255.0)
+        np.testing.assert_array_equal(np.asarray(api.to_uint8(f)), u8)
