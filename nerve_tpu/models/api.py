@@ -228,6 +228,12 @@ class EnhancementEngine:
         if hasattr(self, "variables"):
             fresh = _merge_matching(fresh, self.variables)
         self.variables = fresh
+        self._jit_engine_applies()
+
+    def _jit_engine_applies(self):
+        """Shared jit cache for the forward + video paths (also used by the
+        adaptive subclass — the reference inherits enhance_video there too,
+        nerve_cl/models/enhancement_engine.py:295)."""
         self._apply_nomask = jax.jit(
             lambda v, x: self.module.apply(v, x, None, None)
         )
@@ -240,6 +246,7 @@ class EnhancementEngine:
         self._enhance_video_masked = jax.jit(
             lambda v, x, m: self.module.apply(v, x, m, method="enhance_video")
         )
+        self._quantize_frames = jax.jit(to_uint8)
 
     def __call__(
         self,
@@ -267,14 +274,16 @@ class EnhancementEngine:
 
     def enhance_video(
         self, video: Array, corruption_masks: Optional[Array] = None,
-        batch_size: int = 4,
+        batch_size: int = 4, as_uint8: bool = False,
     ) -> jnp.ndarray:
         """(T, C, H, W) or (B, T, C, H, W) [+ masks (T, 1, H, W)] → enhanced video.
 
         Parity: enhancement_engine.py:186-248 (including the 4-D squeeze path).
         ``batch_size`` is accepted for API compatibility; the scan-based
         pipeline compiles once and streams every frame, so host-side frame
-        batching is unnecessary here.
+        batching is unnecessary here. ``as_uint8`` rounds to uint8 on DEVICE
+        before any transfer — ~4× fewer device→host bytes for serving
+        consumers that encode/display the frames.
         """
         del batch_size
         v = jnp.asarray(video)
@@ -289,6 +298,8 @@ class EnhancementEngine:
             if m.ndim == 4:  # (T, 1, H, W) → (B, T, H, W, 1)
                 m = m[None]
             out = self._enhance_video_masked(self.variables, x, _to_nhwc(m))
+        if as_uint8:
+            out = self._quantize_frames(out)
         out = _to_nchw(out)
         return out[0] if squeeze else out
 
@@ -348,6 +359,7 @@ class AdaptiveEnhancementEngine(EnhancementEngine):
             lambda v, x, rb, uq: self.module.apply(v, x, rb, uq),
             static_argnums=(),
         )
+        self._jit_engine_applies()
 
     def estimate_complexity(self, frame):
         """(B, C, H, W) → (B, 1) complexity in [0, 1]."""

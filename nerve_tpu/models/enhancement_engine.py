@@ -272,6 +272,16 @@ class AdaptiveEnhancementEngine(nn.Module):
         results["enhancement_strength"] = strength
         return results
 
+    def enhance_video(
+        self,
+        video: jnp.ndarray,
+        corruption_masks: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """Whole-video path at default strength — the reference's adaptive
+        engine inherits this from EnhancementEngine (enhancement_engine.py:295)."""
+        return self.engine.enhance_video(video, corruption_masks, train)
+
 
 def select_mode_for_budget(resource_budget: float) -> str:
     """Budget → mode thresholds (parity: enhancement_engine.py:362-370)."""

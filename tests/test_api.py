@@ -136,3 +136,27 @@ class TestUint8Ingest:
         u8 = rng.integers(0, 256, (2, 3, 8, 8), dtype=np.uint8)
         f = jnp.asarray(u8.astype(np.float32) / 255.0)
         np.testing.assert_array_equal(np.asarray(api.to_uint8(f)), u8)
+
+
+class TestVideoUint8Output:
+    def test_enhance_video_as_uint8(self, rng):
+        eng = api.EnhancementEngine(api.EnhancementConfig(
+            sr_num_features=8, sr_num_residual_blocks=1,
+            recovery_base_channels=16, scale_factor=2,
+        ))
+        video = rng.random((3, 3, 16, 16)).astype(np.float32)
+        f = np.asarray(eng.enhance_video(video))
+        u = np.asarray(eng.enhance_video(video, as_uint8=True))
+        assert u.dtype == np.uint8 and u.shape == f.shape
+        np.testing.assert_array_equal(
+            u, np.clip(np.round(f * 255.0), 0, 255).astype(np.uint8)
+        )
+
+    def test_adaptive_engine_inherits_video_path(self, rng):
+        eng = api.AdaptiveEnhancementEngine(api.EnhancementConfig(
+            sr_num_features=8, sr_num_residual_blocks=1,
+            recovery_base_channels=16, scale_factor=2,
+        ))
+        video = rng.random((2, 3, 16, 16)).astype(np.float32)
+        out = eng.enhance_video(video)
+        assert out.shape == (2, 3, 32, 32)
