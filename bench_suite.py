@@ -107,9 +107,12 @@ def bench_train() -> None:
     on_tpu = jax.default_backend() == "tpu"
     bsz, lr_size = (16, 64) if on_tpu else (4, 16)
     n_steps = 20 if on_tpu else 2
-    # The reference's training config: train_baseline.py:51-56.
+    # The reference's training config: train_baseline.py:51-56. Mixed
+    # precision as configured by ModelConfig.compute_dtype's default: bf16
+    # conv stacks, f32 params/optimizer/loss (pixel_loss casts to f32).
     model = SuperResolutionNet(
-        scale_factor=2, num_features=32, num_residual_blocks=4, temporal_window=1
+        scale_factor=2, num_features=32, num_residual_blocks=4, temporal_window=1,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     key = jax.random.PRNGKey(0)
     data = data_lib.make_sr_dataset(key, bsz, lr_size=lr_size, scale=2)

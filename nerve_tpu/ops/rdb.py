@@ -299,6 +299,10 @@ def _rdb_pallas_nhwc(
     4× block refetch, which the automatic pipeline streams.
     """
     b, h, w, c = x.shape
+    # Clamp the tile to the image so small inputs (training crops, facade
+    # probes) don't pay a serving-tile padding wall (same fix as conv_chain).
+    th = min(th, -(-h // 8) * 8)
+    tw = min(tw, -(-w // 8) * 8)
     th = max(th, 2 * HALO)
     tw = max(tw - tw % 8, 2 * HALO + (-(2 * HALO) % 8))  # sublane-aligned
     nh = -(-h // th)
