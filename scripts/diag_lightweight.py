@@ -44,13 +44,16 @@ def tile_sweep(model, variables, frame, n=32):
 
     chain = chain_for(variables)
     ref = None
-    for th, tw in ((32, 120), (32, 240), (64, 240), (64, 488), (120, 240),
-                   (64, 360), (96, 240), (128, 488)):
+    # Tiles bounded by the Mosaic register-spill wall: the 10-layer flat
+    # unroll does NOT share stack slots across stages (measured 85 MB of
+    # spill slots at (64,240) → VMEM OOM at the 128 MB ceiling), so the
+    # sweep stays in the small-tile regime.
+    for th, tw in ((32, 120), (32, 240), (64, 120), (64, 240)):
         try:
             @jax.jit
             def run(xx, chain=chain, tile=(th, tw)):
                 def body(fr, _):
-                    out = ops.conv_chain_apply(fr[0], chain, tile=tile)
+                    out = ops.conv_chain_apply(fr, chain, tile=tile)
                     s = jnp.mean(out[0, :8, :8], dtype=jnp.float32)
                     bump = fr[:1, :1, :1, :1] + (s * 1e-9).astype(fr.dtype)
                     return jax.lax.dynamic_update_slice(fr, bump, (0, 0, 0, 0)), s
@@ -76,7 +79,7 @@ def tile_sweep(model, variables, frame, n=32):
     @jax.jit
     def run_xla(xx):
         def body(fr, _):
-            out = ops.conv_chain_apply(fr[0], chain, use_pallas=False)
+            out = ops.conv_chain_apply(fr, chain, use_pallas=False)
             s = jnp.mean(out[0, :8, :8], dtype=jnp.float32)
             bump = fr[:1, :1, :1, :1] + (s * 1e-9).astype(fr.dtype)
             return jax.lax.dynamic_update_slice(fr, bump, (0, 0, 0, 0)), s

@@ -9,21 +9,24 @@ LOG=${1:-/tmp/tpu_batch.log}
 : > "$LOG"
 
 run() {
+  local t="$1"; shift
   echo "=== $* ===" | tee -a "$LOG"
-  timeout 580 "$@" 2>&1 | tee -a "$LOG"
-  echo "--- exit $? ---" | tee -a "$LOG"
+  timeout "$t" "$@" 2>&1 | tee -a "$LOG"
+  # Real command status, not tee's (PIPESTATUS); 124 = hit the timeout.
+  echo "--- exit ${PIPESTATUS[0]} ---" | tee -a "$LOG"
 }
 
-run python -u scripts/tpu_gate.py
-run python -u scripts/diag_lightweight.py --tiles
-run python -u scripts/diag_lightweight.py
-run python -u scripts/diag_lightweight.py --tiles --pet
-run python -u scripts/diag_corr.py
+# The gate compiles ~8 Mosaic kernels serially on a 1-CPU host: give it time.
+run 1500 python -u scripts/tpu_gate.py
+run 900 python -u scripts/diag_lightweight.py --tiles
+run 580 python -u scripts/diag_lightweight.py
+run 900 python -u scripts/diag_lightweight.py --tiles --pet
+run 580 python -u scripts/diag_corr.py
 # Round-3 RDB store/VPU-gap candidates vs the production schedule
 # (flat_strips): dx-major packing and/or bf16 matmul emission.
-DIAG_TILES=32x240 run python -u scripts/diag_rdb.py \
+DIAG_TILES=32x240 run 1200 python -u scripts/diag_rdb.py \
   flat_strips,flat_dx_strips,flat_dy_pet_strips,flat_dx_pet_strips
 # Warp gather formulation: per-run vs per-element issue cost
-run python -u scripts/diag_warp.py
-run python -u bench.py
+run 580 python -u scripts/diag_warp.py
+run 580 python -u bench.py
 echo "DONE $LOG"
