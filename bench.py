@@ -56,58 +56,67 @@ def run_lightweight_bench() -> dict:
     h, w = (1080, 1920) if on_tpu else (72, 128)
     n_frames = 32 if on_tpu else 2
 
-    model = LightweightSuperResolution(
-        scale_factor=2, dtype=jnp.bfloat16 if on_tpu else jnp.float32
-    )
-    key = jax.random.PRNGKey(0)
-    frame = jax.random.uniform(key, (1, h, w, 3), jnp.float32)
-    variables = jax.jit(model.init)(key, frame)
+    def _measure() -> float:
+        """Build, init, warm up, and time the full streaming loop.
 
-    @jax.jit
-    def run_n(v, x):
-        """Stream n_frames; every output frame materialised.
-
-        Each step's input frame is derived from the previous output's corner
-        statistic — a real data dependence at negligible cost, so the scan
-        cannot be collapsed — and the stacked 2160p outputs land in HBM, so
-        the epilogue cannot be elided either.
+        Everything device-touching lives inside so the fused→XLA fallback
+        below can retry the WHOLE attempt: round-2's driver run died because
+        ``model.init`` (which also traces the fused kernels) sat outside the
+        protected region and a hardware-only VMEM regression crashed there.
         """
+        model = LightweightSuperResolution(
+            scale_factor=2, dtype=jnp.bfloat16 if on_tpu else jnp.float32
+        )
+        key = jax.random.PRNGKey(0)
+        frame = jax.random.uniform(key, (1, h, w, 3), jnp.float32)
+        variables = jax.jit(model.init)(key, frame)
 
-        def body(state, _):
-            fr, acc = state
-            out = model.apply(v, fr, False, "packed")
-            s = jnp.mean(out[0, :64, :64], dtype=jnp.float32)
-            bump = fr[:1, :1, :1, :1] + (s * 1e-12).astype(fr.dtype)
-            fr = jax.lax.dynamic_update_slice(fr, bump, (0, 0, 0, 0))
-            return (fr, acc + s), out
+        @jax.jit
+        def run_n(v, x):
+            """Stream n_frames; every output frame materialised.
 
-        (_, acc), ys = jax.lax.scan(body, (x, jnp.float32(0)), None, length=n_frames)
-        return acc + jnp.float32(ys[-1, 0, -1, -1])
+            Each step's input frame is derived from the previous output's
+            corner statistic — a real data dependence at negligible cost, so
+            the scan cannot be collapsed — and the stacked 2160p outputs
+            land in HBM, so the epilogue cannot be elided either.
+            """
 
-    # Warmup / compile (forces full execution via the scalar fetch). If a
-    # Mosaic lowering regression ever breaks a fused kernel ON HARDWARE
-    # (CI covers interpret mode only), fall back to the XLA formulations
-    # rather than losing the headline measurement entirely — the fallback
-    # is slower but correct, and the regression still surfaces in the log.
+            def body(state, _):
+                fr, acc = state
+                out = model.apply(v, fr, False, "packed")
+                s = jnp.mean(out[0, :64, :64], dtype=jnp.float32)
+                bump = fr[:1, :1, :1, :1] + (s * 1e-12).astype(fr.dtype)
+                fr = jax.lax.dynamic_update_slice(fr, bump, (0, 0, 0, 0))
+                return (fr, acc + s), out
+
+            (_, acc), ys = jax.lax.scan(
+                body, (x, jnp.float32(0)), None, length=n_frames
+            )
+            return acc + jnp.float32(ys[-1, 0, -1, -1])
+
+        float(run_n(variables, frame))  # warmup / compile, full execution
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run_n(variables, frame))
+            best = min(best, time.perf_counter() - t0)
+        return n_frames / best
+
+    # If a Mosaic lowering/VMEM regression ever breaks a fused kernel ON
+    # HARDWARE (CI covers interpret mode only), fall back to the XLA
+    # formulations rather than losing the headline measurement entirely —
+    # the fallback is slower but correct, and the regression still
+    # surfaces in the log.
     try:
-        float(run_n(variables, frame))
+        fps = _measure()
     except Exception as e:  # noqa: BLE001
         from nerve_tpu.ops import dispatch
 
-        print(f"# fused-kernel warmup failed ({type(e).__name__}); "
-              f"falling back to XLA formulations: {str(e)[:200]}",
+        print(f"# fused-kernel attempt failed ({type(e).__name__}); "
+              f"falling back to XLA formulations: {str(e)[:300]}",
               file=sys.stderr, flush=True)
         dispatch.force_xla(True)
-        run_n = jax.jit(run_n.__wrapped__)
-        float(run_n(variables, frame))
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run_n(variables, frame))
-        best = min(best, time.perf_counter() - t0)
-
-    fps = n_frames / best
+        fps = _measure()
     return {
         "metric": "sr_lightweight_1080p_2x_fps" if on_tpu else "sr_proxy_fps_cpu",
         "value": round(fps, 3),

@@ -60,13 +60,16 @@ class FeatureExtractor(nn.Module):
             for blk in blocks:
                 body = blk(body, True)
         else:
-            # All three DWSep blocks in ONE fused launch (halo 3) — XLA runs
-            # depthwise convs memory-bound at 0.5 TF/s; fused they are VMEM
-            # streaming FMAs (same rationale as LightweightSuperResolution).
+            # BN-folded chain via the XLA formulation: the fused Pallas
+            # launch of DWSep stacks measured 4× slower than XLA on v5e for
+            # the 32-channel lightweight body (see LightweightSuperResolution
+            # for the measurement); at 64 channels the same lane-
+            # underutilisation argument applies at 2×, and the streaming
+            # pipeline reuses these features so this is not on the hot path.
             chain = []
             for blk in blocks:
                 chain.extend(blk(feat, False, as_entries=True))
-            body = ops.conv_chain_apply(feat, chain, tile=(64, 240))
+            body = ops.conv_chain_apply(feat, chain, use_pallas=False)
         return body + feat
 
 
@@ -508,18 +511,20 @@ class LightweightSuperResolution(nn.Module):
                 y = blk(y, True)
             y = ops.conv_chain_apply(y, [(tk, tb, "none")], use_pallas=False)
         else:
-            # Whole-body fusion: head + 4×(dw+pw·BN) + tail = one 10-layer
-            # conv-chain call (ONE Pallas launch on TPU bf16 — every
-            # intermediate stays in VMEM; XLA runs the depthwise convs at
-            # 0.5 TF/s memory-bound, docs/perf_notes.md). Halo is 6 (six
-            # 3×3-support layers), so use a taller/wider tile than the
-            # short-chain default to amortise the halo recompute.
+            # BN-folded whole-body chain via the XLA formulation. The fused
+            # Pallas launch of this 10-layer chain was MEASURED 4× SLOWER on
+            # v5e (52-61 ms/frame across tiles vs ~14 ms XLA, 2026-08-19,
+            # docs/perf_notes.md round 3): at 32 channels the channels-on-
+            # lanes layout uses 32/128 VPU lanes and pads matmuls to 64
+            # lanes, so the depthwise taps waste ≥4× throughput while XLA
+            # runs the same convs in a spatial-major layout. Fused conv
+            # chains win at ≥64 channels (RDB, attention heads) — not here.
             probe = jnp.zeros((1, 1, 1, 32), self.dtype)  # body blocks are 32ch
             chain = [(hk, hb, "relu")]
             for blk in body:
                 chain.extend(blk(probe, False, as_entries=True))
             chain.append((tk, tb, "none"))
-            y = ops.conv_chain_apply(inp, chain, tile=(64, 240))
+            y = ops.conv_chain_apply(inp, chain, use_pallas=False)
         base_ch = ops.upsample_bicubic_channels(x, self.scale_factor)
         # Serving-dtype cast before the layout branch: all layouts return the
         # same bytes (see SuperResolutionNet.fuse_from_features).

@@ -41,8 +41,9 @@ BIAS_SLOT = 8  # channel 0 carries ones; features start here
 MIN_NOUT = 64  # pad tiny conv outputs up to this many matmul lanes
 
 # Emit 3×3 matmul chunks in the scratch dtype directly (preferred_element_
-# type) instead of f32 + explicit cast — exact-math schedule variant shared
-# with nerve_tpu.ops.rdb (PET_CHUNKS there); flip after hardware timing.
+# type) instead of f32 + explicit cast — DEAD END, do not enable: Mosaic
+# rejects bf16 matmul accumulators on hardware ("'tpu.matmul' op Expected
+# matmul acc to be 32-bit", measured 2026-08-19; see nerve_tpu.ops.rdb).
 PET_CHUNKS = False
 
 
@@ -104,6 +105,65 @@ def _pack_chain_weights(ws, bs):
         wcat = wcat.at[0, center * npad : center * npad + cout].set(b)
         packed.append(wcat.astype(w.dtype))
     return packed
+
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+# Mosaic does NOT share stack buffers across unrolled kernel stages (measured,
+# docs/perf_notes.md "Gotchas"), so a deep chain's per-layer temporaries are
+# all live at once for VMEM-assignment purposes. The estimator below under-
+# counts small extras (relu copies, boundary-strip stores, window double
+# buffering), so budget well under the limit: round 2's 10-layer lightweight
+# whole-body chain at tile (64, 240) estimated ~81 MB here yet exceeded the
+# 100 MB cap on hardware and killed the driver bench (BENCH_r02.json).
+_VMEM_BUDGET = int(0.55 * _VMEM_LIMIT)
+
+
+def _est_chain_vmem(specs, cins, out_cout, th, tw, halo,
+                    dtype_bytes, pet_chunks) -> int:
+    """Conservative scoped-VMEM estimate (bytes) for one _chain_kernel tile."""
+    hh, ww = th + 2 * halo, tw + 2 * halo
+    ph = hh + 2
+    pw = ww + 2 + ((-(ww + 2)) % 8)
+    ca = max([sum(cins)] + [s[2] for i, s in enumerate(specs[:-1]) if i % 2 == 1])
+    cb = max([s[2] for i, s in enumerate(specs[:-1]) if i % 2 == 0] or [8])
+    ca = _ceil_to(BIAS_SLOT + ca, 128)
+    cb = _ceil_to(BIAS_SLOT + cb, 128)
+    total = (ph * pw * (ca + cb)) * dtype_bytes  # persistent ping-pong scratch
+    for kind, cin, cout, _act in specs:
+        npad = max(_ceil_to(cout, MIN_NOUT), MIN_NOUT)
+        if kind == "dw3":
+            # f32 accumulator + shifted-tap read temporaries
+            total += hh * ww * cin * 4 * 2
+        elif kind == "3x3":
+            y_bytes = dtype_bytes if pet_chunks else 4
+            total += ph * pw * 3 * npad * y_bytes + hh * ww * npad * 4
+        else:  # 1x1
+            total += ph * pw * npad * 4
+    # double-buffered input quads + output window
+    total += 2 * 4 * th * tw * sum(cins) * dtype_bytes
+    total += 2 * th * tw * out_cout * dtype_bytes
+    return total
+
+
+def _fit_chain_tile(specs, cins, out_cout, th, tw, halo,
+                    dtype_bytes, pet_chunks) -> Tuple[int, int]:
+    """Shrink (th, tw) until the estimated scoped VMEM fits the budget.
+
+    Shrinks th first (cheaper: lanes/width drive VPU utilisation), then tw;
+    both stay multiples of 8 and ≥ the halo-imposed minimum. Returns the
+    request unchanged when it already fits.
+    """
+    th_min = max(_ceil_to(2 * halo, 8), 8)
+    tw_min = max(_ceil_to(2 * halo, 8), 8)
+    while _est_chain_vmem(specs, cins, out_cout, th, tw, halo,
+                          dtype_bytes, pet_chunks) > _VMEM_BUDGET:
+        if th > th_min:
+            th = max(th - 8, th_min)
+        elif tw > tw_min:
+            tw = max(tw - 8, tw_min)
+        else:
+            break  # minimum tile; let Mosaic be the final arbiter
+    return th, tw
 
 
 def _chain_kernel(*refs, th: int, tw: int, specs, out_cout: int, halo: int,
@@ -252,8 +312,13 @@ def _chain_pallas(
     th: int = 32,
     tw: int = 120,
     pet_chunks: bool | None = None,
+    fit_vmem: bool = True,
 ) -> jnp.ndarray:
-    """``xs``: one array or a sequence (fused channel-concat, see kernel)."""
+    """``xs``: one array or a sequence (fused channel-concat, see kernel).
+
+    ``fit_vmem=True`` (default, all production paths) auto-shrinks the tile
+    to the scoped-VMEM budget; diagnostics pass False to sweep exact tiles.
+    """
     pet_chunks = PET_CHUNKS if pet_chunks is None else pet_chunks
     if isinstance(xs, (list, tuple)):
         xs = list(xs)
@@ -271,6 +336,11 @@ def _chain_pallas(
     tw = min(tw, _ceil_to(w, 8))
     th = max(th, 2 * halo)
     tw = max(tw - tw % 8, _ceil_to(2 * halo, 8))
+    if fit_vmem:
+        th, tw = _fit_chain_tile(
+            specs, cins, specs[-1][2], th, tw, halo,
+            jnp.dtype(x.dtype).itemsize, pet_chunks,
+        )
     nh = -(-h // th)
     nw = -(-w // tw)
     pad_h = (nh + 1) * th - (h + halo)
@@ -365,8 +435,10 @@ def _chain_xla(x, ws, bs, acts) -> jnp.ndarray:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def conv_chain_fused(acts, tile, x, ws, bs) -> jnp.ndarray:
     """Fused conv chain: (B, H, W, Cin) [or an input tuple to concat] →
-    (B, H, W, Cout_last). ``tile`` = static (th, tw)."""
-    return _chain_pallas(x, ws, bs, acts, th=tile[0], tw=tile[1])
+    (B, H, W, Cout_last). ``tile`` = static (th, tw, fit_vmem) — the tile
+    request plus whether to auto-shrink it to the scoped-VMEM budget."""
+    th, tw, fit = tile
+    return _chain_pallas(x, ws, bs, acts, th=th, tw=tw, fit_vmem=fit)
 
 
 def _cc_fwd(acts, tile, x, ws, bs):
@@ -391,6 +463,7 @@ def _auto_pallas(x: jnp.ndarray) -> bool:
 def conv_chain_apply(
     x, params, use_pallas: bool | None = None,
     tile: Tuple[int, int] = (32, 120),
+    fit_vmem: bool = True,
 ) -> jnp.ndarray:
     """Run a conv(+ReLU) chain; fused on TPU bf16, XLA elsewhere.
 
@@ -402,6 +475,8 @@ def conv_chain_apply(
     ``tile``: spatial (th, tw) VMEM tile for the fused path. The default
     suits short chains (halo ≤3); deep chains amortise their halo better
     with larger tiles (see LightweightSuperResolution's whole-body call).
+    ``fit_vmem``: auto-shrink the tile to the scoped-VMEM budget (default;
+    every production path). Diagnostics pass False to sweep exact tiles.
     """
     if isinstance(x, (list, tuple)):
         x = tuple(x)
@@ -415,5 +490,5 @@ def conv_chain_apply(
     acts = tuple(a for _w, _b, a in params)
     _layer_specs(ws, acts)  # validate on every path
     if use_pallas:
-        return conv_chain_fused(acts, tuple(tile), x, ws, bs)
+        return conv_chain_fused(acts, (tile[0], tile[1], fit_vmem), x, ws, bs)
     return _chain_xla(x, ws, bs, acts)

@@ -283,8 +283,9 @@ _correlation_tpu.defvjp(_corr_fwd, _corr_bwd)
 # Serving default, decided by measurement (scripts/diag_corr.py): the planar
 # kernel's C-reduction is a major-axis streaming sum (no cross-lane
 # shuffles); the NHWC kernel pays ~log₂C shuffle-add passes per displacement.
-# Keep NHWC until the planar kernel is timed on hardware.
-PLANAR_DEFAULT = False
+# Measured on v5e 2026-08-19 @540p c64: planar 6.41 ms vs NHWC 12.78 ms
+# (maxerr 1.2e-04) — planar wins 2×.
+PLANAR_DEFAULT = True
 
 
 def correlation_volume(

@@ -57,15 +57,19 @@ KPAD = 256  # slot layout below, padded to 2 MXU K-tiles
 BIAS_SLOT = 8
 FEAT_OFF = BIAS_SLOT
 
-# Chunk-schedule switches (exact math either way; all four combinations are
-# interpret-parity-tested, hardware-timed by scripts/diag_rdb.py — see
-# docs/perf_notes.md "Remaining for round 3" #1). Flip after measurement.
-DX_MAJOR = False  # dx-major weight packing: per-chunk whole sublane shift,
-#                   three major-dim (row) tap adds — vs dy-major's six
-#                   sublane-offset slices per layer.
-PET_CHUNKS = False  # matmul emits the scratch dtype directly
-#                     (preferred_element_type), skipping the explicit
-#                     f32→bf16 cast pass over each (ph, pw, 96) chunk.
+# Chunk-schedule switches (exact math either way; all combinations are
+# interpret-parity-tested; hardware-timed by scripts/diag_rdb.py 2026-08-19
+# on v5e @1080p, 64 feats, tiles 32×240 — docs/perf_notes.md round 3).
+DX_MAJOR = True  # dx-major weight packing: per-chunk whole sublane shift,
+#                  three major-dim (row) tap adds — vs dy-major's six
+#                  sublane-offset slices per layer. MEASURED 30.50 ms/block
+#                  vs 34.54 dy-major (−12 %), identical maxerr 1.56e-02.
+PET_CHUNKS = False  # DEAD END — do not enable: Mosaic REJECTS bf16 matmul
+#                     accumulators ("'tpu.matmul' op Expected matmul acc to
+#                     be 32-bit", hardware lowering 2026-08-19), so emitting
+#                     the scratch dtype via preferred_element_type cannot
+#                     lower. Kept only so diag scripts can demonstrate the
+#                     failure; interpret mode accepts it, hardware does not.
 
 
 def _layer_k(i: int, features: int) -> int:

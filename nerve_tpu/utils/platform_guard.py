@@ -42,16 +42,24 @@ def guard_against_wedged_tunnel(timeout_s: float = 240.0) -> bool:
         _checked = False
         return False
     _checked = True
+    # The probe must EXECUTE a computation, not just initialize the backend:
+    # a second observed wedge mode (2026-08-19) initializes fine — devices()
+    # returns the chip — but the first dispatched program never completes.
+    probe_src = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print(float((x @ x).sum()), jax.default_backend())"
+    )
     try:
         probe = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            [sys.executable, "-c", probe_src],
             capture_output=True, timeout=timeout_s, text=True,
         )
         if probe.returncode == 0:
-            return True  # backend init completes; use whatever jax picks.
+            return True  # backend executes; use whatever jax picks.
         reason = f"probe rc={probe.returncode}: {probe.stderr.strip()[-200:]}"
     except subprocess.TimeoutExpired:
-        reason = f"backend init hung >{timeout_s:.0f}s (wedged tunnel)"
+        reason = f"backend init/exec hung >{timeout_s:.0f}s (wedged tunnel)"
     print(f"# TPU backend unavailable ({reason}); pinning CPU",
           file=sys.stderr, flush=True)
     jax.config.update("jax_platforms", "cpu")

@@ -53,7 +53,9 @@ def tile_sweep(model, variables, frame, n=32):
             @jax.jit
             def run(xx, chain=chain, tile=(th, tw)):
                 def body(fr, _):
-                    out = ops.conv_chain_apply(fr, chain, tile=tile)
+                    # Exact-tile sweep: bypass the production VMEM auto-fit.
+                    out = ops.conv_chain_apply(fr, chain, tile=tile,
+                                               fit_vmem=False)
                     s = jnp.mean(out[0, :8, :8], dtype=jnp.float32)
                     bump = fr[:1, :1, :1, :1] + (s * 1e-9).astype(fr.dtype)
                     return jax.lax.dynamic_update_slice(fr, bump, (0, 0, 0, 0)), s

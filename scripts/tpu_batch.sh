@@ -28,5 +28,5 @@ DIAG_TILES=32x240 run 1200 python -u scripts/diag_rdb.py \
   flat_strips,flat_dx_strips,flat_dy_pet_strips,flat_dx_pet_strips
 # Warp gather formulation: per-run vs per-element issue cost
 run 580 python -u scripts/diag_warp.py
-run 580 python -u bench.py
+run 900 python -u bench.py
 echo "DONE $LOG"

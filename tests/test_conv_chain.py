@@ -135,3 +135,52 @@ class TestConvChain:
                 [(w3, jnp.zeros(4), "relu"), (jnp.zeros((3, 3, 8, 4)), jnp.zeros(4), "none")],
                 use_pallas=False,
             )
+
+
+class TestVmemFit:
+    """Scoped-VMEM auto-fit: the round-2 driver bench died because the
+    10-layer lightweight whole-body chain requested tile (64, 240), whose
+    unrolled-stage temporaries Mosaic cannot share (~85 MB of spill slots
+    measured on v5e → OOM at the 100 MB cap). Production tiles must be
+    fitted to the budget BEFORE the pallas_call is built."""
+
+    LIGHTWEIGHT_SPECS = (
+        [("3x3", 3, 32, "relu")]
+        + [("dw3", 32, 32, "none"), ("1x1", 32, 32, "relu")] * 4
+        + [("3x3", 32, 12, "none")]
+    )
+
+    def test_lightweight_chain_tile_is_shrunk(self):
+        est = cc._est_chain_vmem(
+            self.LIGHTWEIGHT_SPECS, [3], 12, 64, 240, 6, 2, False
+        )
+        assert est > cc._VMEM_BUDGET  # the failing round-2 request
+        th, tw = cc._fit_chain_tile(
+            self.LIGHTWEIGHT_SPECS, [3], 12, 64, 240, 6, 2, False
+        )
+        assert (th, tw) != (64, 240)
+        assert cc._est_chain_vmem(
+            self.LIGHTWEIGHT_SPECS, [3], 12, th, tw, 6, 2, False
+        ) <= cc._VMEM_BUDGET
+        assert th >= 16 and tw >= 16 and th % 8 == 0 and tw % 8 == 0
+
+    def test_small_requests_pass_through(self):
+        specs = [("3x3", 8, 8, "relu")]
+        assert cc._fit_chain_tile(specs, [8], 8, 32, 120, 1, 2, False) == (32, 120)
+
+    def test_fit_applies_in_chain_pallas_interpret(self, rng):
+        # End-to-end: a deep chain with an oversized tile request still
+        # produces exact results after the auto-fit (interpret mode).
+        cin = 3
+        params = [(*_mk(rng, 3, cin, 8), "relu")]
+        for _ in range(4):
+            params.append((*_mk(rng, 3, 8, 8), "relu"))
+        params.append((*_mk(rng, 3, 8, 4), "none"))
+        x = jnp.asarray(rng.standard_normal((1, 24, 32, cin)).astype(np.float32)) * 0.5
+        ws = tuple(p[0] for p in params)
+        bs = tuple(p[1] for p in params)
+        acts = tuple(p[2] for p in params)
+        ref = cc._chain_xla(x, ws, bs, acts)
+        with pltpu.force_tpu_interpret_mode():
+            got = cc._chain_pallas(x, ws, bs, acts, th=64, tw=240, fit_vmem=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
