@@ -20,6 +20,7 @@ from nerve_tpu.ops.resize import (  # noqa: F401
     upsample_bilinear_channels,
 )
 from nerve_tpu.ops.conv_chain import conv_chain_apply  # noqa: F401
+from nerve_tpu.ops.planar_chain import planar_chain_apply  # noqa: F401
 from nerve_tpu.ops.warp import flow_warp  # noqa: F401
 from nerve_tpu.ops.correlation import correlation_volume  # noqa: F401
 from nerve_tpu.ops.pool import (  # noqa: F401

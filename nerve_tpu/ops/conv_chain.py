@@ -409,7 +409,18 @@ def _chain_pallas(
 
 
 def _chain_xla(x, ws, bs, acts) -> jnp.ndarray:
-    """Reference XLA formulation — identical math, autodiff-friendly."""
+    """Reference XLA formulation — identical math, autodiff-friendly.
+
+    The grouped conv (`feature_group_count=C`) IS the fastest depthwise
+    formulation XLA has on this chip — both alternatives measured WORSE
+    end-to-end on the 10-layer lightweight body @1080p (2026-08-19,
+    scripts/diag_planar2.py; grouped-conv baseline 16.6 ms/frame):
+      * nine shifted-slice FMAs with f32 accumulation: 59.7 ms — XLA
+        materialises the intermediate sums instead of fusing the tap chain;
+      * dense 3×3 with diagonal weights (w ⊗ δ_cc', MXU im2col at 32× the
+        FLOPs): 23.7 ms — im2col traffic beats the relayout cost but loses
+        to the native grouped path.
+    """
     if isinstance(x, (list, tuple)):
         x = jnp.concatenate(list(x), axis=-1)
     for w, bias, act in zip(ws, bs, acts):
