@@ -58,6 +58,24 @@ from nerve_tpu.ops.rdb import (
 
 NTAP = 9 * GROWTH  # 288 packed tap columns per dense layer
 
+# dx-major chunk schedule (mirrors ops.rdb.DX_MAJOR): each per-chunk matmul
+# output takes ONE whole-chunk sublane shift + three major-dim tap adds,
+# instead of dy-major's six sublane-offset slices per layer. Measured −12 %
+# on the bf16 kernel (docs/perf_notes.md round 3); applied to the int8
+# kernel as a call-time column permutation of (wq, dq) so quantised
+# artifacts (quantize_rdb_chain output) keep the dy-major wire format.
+DX_MAJOR_INT8 = False  # flipped by measurement; see docs/perf_notes.md
+
+
+def _permute_cols_dx(mat: jnp.ndarray) -> jnp.ndarray:
+    """Permute 288 packed tap columns from (3·dy+dx) to (3·dx+dy) order."""
+    blocks = [
+        mat[..., (3 * dy + dx) * GROWTH : (3 * dy + dx + 1) * GROWTH]
+        for dx in range(3)
+        for dy in range(3)
+    ]
+    return jnp.concatenate(blocks, axis=-1)
+
 
 # --------------------------------------------------------------------------- #
 # Calibration
@@ -195,6 +213,7 @@ def _rdb_int8_kernel(
     *,
     th: int, tw: int, features: int, img_h: int, img_w: int,
     nh_static: int, nw_static: int, out_int8: bool,
+    dx_major: bool = DX_MAJOR_INT8,
 ):
     """Fused int8 RDB on NHWC tiles (structure mirrors rdb._rdb_kernel).
 
@@ -265,20 +284,29 @@ def _rdb_int8_kernel(
 
     for i, w_ref in enumerate((w0_ref, w1_ref, w2_ref, w3_ref, w4_ref)):
         acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
-        for dy in range(3):
-            y = matmul(w_ref, 3 * dy * GROWTH, (3 * dy + 3) * GROWTH)
+        # `outer` iterates dy (dy-major packing) or dx (dx-major packing).
+        for outer in range(3):
+            y = matmul(w_ref, 3 * outer * GROWTH, (3 * outer + 3) * GROWTH)
             # Dequantise the whole 96-lane chunk ONCE (int32→f32 × per-col
             # scale → bf16), then do the nine shifted adds exactly like the
             # bf16 kernel — per-tap dequant during the adds measured
             # +3.5 ms/block of extra VPU converts.
-            dq = dq_ref[i : i + 1, 3 * dy * GROWTH : (3 * dy + 3) * GROWTH]
+            dq = dq_ref[i : i + 1, 3 * outer * GROWTH : (3 * outer + 3) * GROWTH]
             y = (y.astype(jnp.float32) * dq.reshape(1, 1, 3 * GROWTH)).astype(
                 jnp.bfloat16
             )
-            for dx in range(3):
-                acc = acc + y[
-                    dy : dy + hh, dx : dx + ww, dx * GROWTH : (dx + 1) * GROWTH
-                ].astype(jnp.float32)
+            if dx_major:
+                ysub = y[:, outer : outer + ww, :]
+                for dy in range(3):
+                    acc = acc + ysub[
+                        dy : dy + hh, :, dy * GROWTH : (dy + 1) * GROWTH
+                    ].astype(jnp.float32)
+            else:
+                for dx in range(3):
+                    acc = acc + y[
+                        outer : outer + hh, dx : dx + ww,
+                        dx * GROWTH : (dx + 1) * GROWTH,
+                    ].astype(jnp.float32)
         bias = meta_ref[0:1, i * GROWTH : (i + 1) * GROWTH].reshape(1, 1, GROWTH)
         f = jnp.maximum(acc + bias, 0.0)
         inv = meta_ref[3:4, i * GROWTH : (i + 1) * GROWTH].reshape(1, 1, GROWTH)
@@ -310,10 +338,17 @@ def _rdb_int8_pallas(
     out_dtype,
     th: int = 64,
     tw: int = 240,
+    dx_major: bool | None = None,
 ) -> jnp.ndarray:
     """One quantised RDB on an int8 NHWC (B, H, W, C) array."""
     b, h, w, c = xq.shape
     wq, dq, meta = qblock
+    dx_major = DX_MAJOR_INT8 if dx_major is None else dx_major
+    if dx_major:
+        # Call-time repack (tiny arrays; constant-folded under jit): the
+        # quantised artifact keeps the dy-major wire format.
+        wq = [_permute_cols_dx(w) for w in wq[:NUM_LAYERS]] + list(wq[NUM_LAYERS:])
+        dq = _permute_cols_dx(dq)
     out_int8 = out_dtype == jnp.int8
     th = max(th, 2 * HALO)
     tw = max(tw - tw % 8, 2 * HALO + (-(2 * HALO) % 8))
@@ -326,7 +361,7 @@ def _rdb_int8_pallas(
 
     kernel = functools.partial(
         _rdb_int8_kernel, th=th, tw=tw, features=c, img_h=h, img_w=w,
-        nh_static=nh, nw_static=nw, out_int8=out_int8,
+        nh_static=nh, nw_static=nw, out_int8=out_int8, dx_major=dx_major,
     )
     quad_spec = lambda sh, sw: pl.BlockSpec(  # noqa: E731
         (1, th, tw, c),
@@ -366,7 +401,8 @@ def _rdb_int8_pallas(
 # Chain entry points
 # --------------------------------------------------------------------------- #
 def rdb_chain_int8_pallas(
-    x: jnp.ndarray, qchain, out_dtype=None, th: int = 64, tw: int = 240
+    x: jnp.ndarray, qchain, out_dtype=None, th: int = 64, tw: int = 240,
+    dx_major: bool | None = None,
 ) -> jnp.ndarray:
     """Quantised RDB chain on TPU: int8 end-to-end between blocks.
 
@@ -384,7 +420,8 @@ def rdb_chain_int8_pallas(
         last = b == n - 1
         nmeta = jnp.ones_like(qblock[2]) if last else qchain[b + 1][2]
         xq = _rdb_int8_pallas(
-            xq, qblock, nmeta, out_dtype if last else jnp.int8, th=th, tw=tw
+            xq, qblock, nmeta, out_dtype if last else jnp.int8, th=th, tw=tw,
+            dx_major=dx_major,
         )
     return xq
 

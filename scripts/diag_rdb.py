@@ -248,31 +248,46 @@ def make_kernel(th, tw, features, mode, img_h=1080, img_w=1920):
 
         w_all = (w0_ref, w1_ref, w2_ref, w3_ref, w4_ref)
         flat_modes = ("flat", "flat_strips", "flat_dx_strips", "flat_dy_pet_strips",
-                      "flat_dx_pet_strips")
+                      "flat_dx_pet_strips",
+                      # round-3b schedule probes (all exact except accbf16):
+                      "flat_dx_strips_xonce",    # hoist operand reshape/layer
+                      "flat_dx_strips_f32y",     # no intermediate bf16 cast
+                      "flat_dx_strips_accbf16",  # bf16 accumulator (approx)
+                      "flat_dx_strips_xonce_accbf16")
         if mode in flat_modes:
             dx_major = "dx" in mode
             pet = "pet" in mode
+            xonce = "xonce" in mode
+            f32y = "f32y" in mode
+            accdt = jnp.bfloat16 if "accbf16" in mode else jnp.float32
             for i, w_ref in enumerate(w_all):
-                acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
+                acc = jnp.zeros((hh, ww, GROWTH), accdt)
+                if xonce:
+                    k = w_ref.shape[0]
+                    xop = scratch[:, :, :k].reshape(m, k)
                 for outer in range(3):  # dy for row-major packs, dx for dx-major
-                    if pet:
-                        y = matmul_cols(w_ref, 3 * outer * GROWTH,
-                                        (3 * outer + 3) * GROWTH,
-                                        out_dtype=jnp.bfloat16)
+                    n0, n1 = 3 * outer * GROWTH, (3 * outer + 3) * GROWTH
+                    if xonce:
+                        y = lax.dot_general(
+                            xop, w_ref[:, n0:n1], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).reshape(ph, pw, n1 - n0)
+                    elif pet:
+                        y = matmul_cols(w_ref, n0, n1, out_dtype=jnp.bfloat16)
                     else:
-                        y = matmul_cols(w_ref, 3 * outer * GROWTH,
-                                        (3 * outer + 3) * GROWTH)
+                        y = matmul_cols(w_ref, n0, n1)
+                    if not pet and not f32y:
                         y = y.astype(jnp.bfloat16)
                     if dx_major:
                         ysub = y[:, outer:outer + ww, :]
                         for dy in range(3):
                             acc = acc + ysub[
                                 dy:dy + hh, :, dy * GROWTH:(dy + 1) * GROWTH
-                            ].astype(jnp.float32)
+                            ].astype(accdt)
                     else:
                         for dx in range(3):
                             acc = acc + y[outer:outer + hh, dx:dx + ww,
-                                          dx * GROWTH:(dx + 1) * GROWTH].astype(jnp.float32)
+                                          dx * GROWTH:(dx + 1) * GROWTH].astype(accdt)
                 f = jnp.maximum(acc, 0.0)
                 ki = _layer_k(i, features)
                 scratch[1:1 + hh, 1:1 + ww, ki:ki + GROWTH] = f.astype(scratch.dtype)
@@ -336,7 +351,9 @@ def run_variant(x, params, th, tw, mode, over):
     exact_modes = ("full", "chunk_dy", "chunk_dy_bf16", "chunk_tap",
                    "chunk_negmask", "chunk_strips_full", "chunk_dx",
                    "chunk_dx_pet", "chunk_dy_pet", "flat", "flat_strips",
-                   "flat_dx_strips", "flat_dy_pet_strips", "flat_dx_pet_strips")
+                   "flat_dx_strips", "flat_dy_pet_strips", "flat_dx_pet_strips",
+                   "flat_dx_strips_xonce", "flat_dx_strips_f32y",
+                   "flat_dx_strips_accbf16", "flat_dx_strips_xonce_accbf16")
     if mode in exact_modes:
         from nerve_tpu.ops.rdb import _rdb_xla
         ref = jax.jit(_rdb_xla)(x, params)

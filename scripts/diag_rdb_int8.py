@@ -60,6 +60,8 @@ def main():
     p.add_argument("--w", type=int, default=1920)
     p.add_argument("--skip-bf16", action="store_true")
     p.add_argument("--skip-check", action="store_true")
+    p.add_argument("--dx-major", action="store_true",
+                   help="A/B the dx-major chunk schedule (see ops/rdb_int8)")
     args = p.parse_args()
 
     key = jax.random.PRNGKey(0)
@@ -75,7 +77,9 @@ def main():
         scales = rdb_int8.calibrate_rdb_chain(xs, params_small)
         qchain = rdb_int8.quantize_rdb_chain(params_small, scales)
         ref = rdb_int8.rdb_chain_int8_xla(xs, qchain)
-        out = rdb_int8.rdb_chain_int8_pallas(xs, qchain, th=32, tw=128)
+        out = rdb_int8.rdb_chain_int8_pallas(
+            xs, qchain, th=32, tw=128, dx_major=args.dx_major
+        )
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
         print(f"small-shape kernel vs XLA-int8 max|err| = {err:.2e}")
         fref = xs
@@ -106,7 +110,8 @@ def main():
     @jax.jit
     def run_int8(x):
         return rdb_int8.rdb_chain_int8_pallas(
-            x, qchain, out_dtype=jnp.bfloat16, th=args.th, tw=args.tw
+            x, qchain, out_dtype=jnp.bfloat16, th=args.th, tw=args.tw,
+            dx_major=args.dx_major,
         )
 
     t_bf16 = None

@@ -18,15 +18,12 @@ run() {
 
 # The gate compiles ~8 Mosaic kernels serially on a 1-CPU host: give it time.
 run 1500 python -u scripts/tpu_gate.py
-run 900 python -u scripts/diag_lightweight.py --tiles
-run 580 python -u scripts/diag_lightweight.py
-run 900 python -u scripts/diag_lightweight.py --tiles --pet
-run 580 python -u scripts/diag_corr.py
-# Round-3 RDB store/VPU-gap candidates vs the production schedule
-# (flat_strips): dx-major packing and/or bf16 matmul emission.
-DIAG_TILES=32x240 run 1200 python -u scripts/diag_rdb.py \
-  flat_strips,flat_dx_strips,flat_dy_pet_strips,flat_dx_pet_strips
-# Warp gather formulation: per-run vs per-element issue cost
-run 580 python -u scripts/diag_warp.py
 run 900 python -u bench.py
+# Round-3 refresh: DX_MAJOR RDB packing and the planar correlation kernel
+# are now the production defaults — re-record every BASELINE config.
+run 1200 python -u bench_suite.py sr_full
+run 1200 python -u bench_suite.py sr_full_int8
+run 900 python -u bench_suite.py engine
+run 900 python -u bench_suite.py train
+run 900 python -u bench_suite.py continual federated abr
 echo "DONE $LOG"

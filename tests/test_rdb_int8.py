@@ -126,6 +126,29 @@ class TestKernelParity:
                 atol=1e-4, rtol=0,
             )
 
+    def test_dx_major_schedule_matches_dy_major(self, chain):
+        """The dx-major chunk schedule (call-time column permutation of
+        wq/dq + swapped shift geometry) is the same math as dy-major up to
+        f32 add ORDER; pre-requant f32 outputs must agree to float-sum
+        tolerance, block by block."""
+        x, params_list = chain
+        scales = rdb_int8.calibrate_rdb_chain(x, params_list)
+        qchain = rdb_int8.quantize_rdb_chain(params_list, scales)
+        for blk in range(len(qchain)):
+            with pltpu.force_tpu_interpret_mode():
+                dy = rdb_int8.rdb_chain_int8_pallas(
+                    x, (qchain[blk],), out_dtype=jnp.float32, th=16, tw=16,
+                    dx_major=False,
+                )
+                dx = rdb_int8.rdb_chain_int8_pallas(
+                    x, (qchain[blk],), out_dtype=jnp.float32, th=16, tw=16,
+                    dx_major=True,
+                )
+            np.testing.assert_allclose(
+                np.asarray(dx, np.float32), np.asarray(dy, np.float32),
+                atol=1e-4, rtol=0,
+            )
+
     def test_chain_within_quant_steps(self, chain):
         """Whole-chain kernel-vs-XLA difference is bounded by a few int8
         quantisation steps (borderline requant flips cascade spatially but
