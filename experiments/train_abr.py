@@ -10,6 +10,17 @@ collected in a single jitted scan.
 
 from __future__ import annotations
 
+# Direct-script execution (`python experiments/<name>.py`) puts experiments/
+# on sys.path but not the repo root; make `import nerve_tpu` work without an
+# editable install. No-op when imported as the experiments.* package or when
+# the console script (pip-installed) runs.
+if __package__ in (None, ""):
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 

@@ -47,5 +47,18 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(state_template)
         )
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore the saved pytree as-is (numpy leaves), no template needed.
+
+        For consumers that only want a subtree (e.g. serving loads just the
+        params out of a training checkpoint) and don't hold the optimizer
+        state structure required by :meth:`restore`.
+        """
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self.directory}")
+        return self._mgr.restore(step)
+
     def close(self):
         self._mgr.close()

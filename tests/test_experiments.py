@@ -120,3 +120,101 @@ class TestTrainABR:
             ["--mode", "eval", "--checkpoint", str(tmp_path / "missing.npz")]
         )
         assert np.isfinite(out["mean_vmaf"])
+
+
+class TestEnhance:
+    """nerve-enhance serving CLI (experiments/enhance.py) — the whole-video
+    workflow the reference only exposes as a Python API
+    (nerve_cl/models/enhancement_engine.py:186-248)."""
+
+    def _write_video(self, path, t=4, c=3, h=16, w=16, dtype=np.float32):
+        rng = np.random.default_rng(0)
+        video = rng.uniform(0, 1, (t, c, h, w)).astype(np.float32)
+        if dtype == np.uint8:
+            video = (video * 255).astype(np.uint8)
+        np.save(path, video)
+        return video
+
+    def test_sr_only_npy(self, tmp_path, capsys):
+        from experiments import enhance
+
+        inp, outp = tmp_path / "v.npy", tmp_path / "out.npy"
+        self._write_video(inp)
+        rc = enhance.main([
+            str(inp), "-o", str(outp), "--mode", "sr_only",
+            "--sr-features", "8", "--sr-blocks", "1",
+        ])
+        assert rc == 0
+        out = np.load(outp)
+        assert out.shape == (4, 3, 32, 32) and out.dtype == np.uint8
+        import json
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["frames"] == 4 and summary["mode"] == "sr_only"
+
+    def test_uint8_ingest_lightweight_float_out(self, tmp_path):
+        from experiments import enhance
+
+        inp, outp = tmp_path / "v.npy", tmp_path / "out.npy"
+        self._write_video(inp, dtype=np.uint8)
+        rc = enhance.main([
+            str(inp), "-o", str(outp), "--mode", "lightweight", "--float",
+        ])
+        assert rc == 0
+        out = np.load(outp)
+        assert out.shape == (4, 3, 32, 32) and out.dtype == np.float32
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    def test_adaptive_budget_picks_lightweight(self, tmp_path, capsys):
+        from experiments import enhance
+
+        inp, outp = tmp_path / "v.npy", tmp_path / "out.npy"
+        self._write_video(inp)
+        rc = enhance.main([
+            str(inp), "-o", str(outp), "--adaptive", "--budget", "0.2",
+            "--sr-features", "8", "--sr-blocks", "1", "--mode", "sr_only",
+        ])
+        assert rc == 0
+        import json
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["mode"] == "lightweight"  # budget < 0.3 threshold
+
+    def test_train_then_serve(self, tmp_path):
+        """The full user workflow: nerve-train writes an orbax checkpoint,
+        nerve-enhance grafts its SR params and serves."""
+        from experiments import enhance, train_baseline
+
+        ckpt = tmp_path / "ckpt"
+        train_baseline.main([
+            "--epochs", "1", "--batch-size", "4", "--train-samples", "8",
+            "--val-samples", "4", "--lr-size", "16", "--num-features", "8",
+            "--num-blocks", "1", "--checkpoint-dir", str(ckpt),
+        ])
+        inp, outp = tmp_path / "v.npy", tmp_path / "out.npy"
+        self._write_video(inp)
+        rc = enhance.main([
+            str(inp), "-o", str(outp), "--mode", "sr_only",
+            "--sr-features", "8", "--sr-blocks", "1",
+            "--sr-checkpoint", str(ckpt),
+        ])
+        assert rc == 0
+        assert np.load(outp).shape == (4, 3, 32, 32)
+
+    def test_sr_checkpoint_shape_mismatch_errors(self, tmp_path):
+        from experiments import enhance, train_baseline
+
+        ckpt = tmp_path / "ckpt"
+        train_baseline.main([
+            "--epochs", "1", "--batch-size", "4", "--train-samples", "8",
+            "--val-samples", "4", "--lr-size", "16", "--num-features", "8",
+            "--num-blocks", "1", "--checkpoint-dir", str(ckpt),
+        ])
+        inp = tmp_path / "v.npy"
+        self._write_video(inp)
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="sr-checkpoint"):
+            enhance.main([
+                str(inp), "--mode", "sr_only",
+                "--sr-features", "16", "--sr-blocks", "1",
+                "--sr-checkpoint", str(ckpt),
+            ])
