@@ -36,6 +36,8 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -125,15 +127,50 @@ def run_lightweight_bench() -> dict:
     }
 
 
+_LAST_HW_NOTE = (
+    "Last hardware measurement of this config: 63.6 fps (vs_baseline 1.06) "
+    "— docs/perf_notes.md, 'Round 3'."
+)
+
+
 def main() -> None:
+    if os.environ.get("NERVE_BENCH_CPU_RETRY") == "1":
+        # The axon sitecustomize forces jax_platforms='axon,cpu' over any
+        # JAX_PLATFORMS env var, so the CPU-retry subprocess must pin the
+        # platform in-process, before the first computation.
+        jax.config.update("jax_platforms", "cpu")
     tpu_ok = guard_against_wedged_tunnel()
-    result = run_lightweight_bench()
+    try:
+        result = run_lightweight_bench()
+    except Exception as e:  # noqa: BLE001
+        # Round 2's driver bench was lost to an unguarded hardware failure
+        # (BENCH_r02.json rc=1). Final backstop: whatever goes wrong on the
+        # TPU path — even after the fused→XLA retry — re-run this script in
+        # a CPU-pinned subprocess so ONE honest JSON line is always emitted.
+        if os.environ.get("NERVE_BENCH_CPU_RETRY") == "1":
+            raise  # already the CPU retry; don't recurse
+        print(f"# bench failed on the {jax.default_backend()} backend "
+              f"({type(e).__name__}: {str(e)[:300]}); retrying as CPU proxy",
+              file=sys.stderr, flush=True)
+        env = dict(os.environ, NERVE_BENCH_CPU_RETRY="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            raise  # CPU retry also failed; surface the original error
+        result = json.loads(lines[-1])
+        result["note"] = (
+            f"TPU measurement failed ({type(e).__name__}); this is a CPU "
+            f"proxy, not a chip measurement. {_LAST_HW_NOTE}"
+        )
+        print(json.dumps(result))
+        return
     if not tpu_ok:
         result["note"] = (
             "TPU tunnel wedged at bench time (backend init hung); this is a "
-            "CPU proxy, not a chip measurement. Last hardware measurement of "
-            "this config: 63.7 fps (vs_baseline 1.06) — docs/perf_notes.md, "
-            "'Round 2: headline results'."
+            "CPU proxy, not a chip measurement. " + _LAST_HW_NOTE
         )
     print(json.dumps(result))
 
