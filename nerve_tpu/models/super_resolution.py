@@ -256,19 +256,12 @@ class RDBStack(nn.Module):
         ]
         x = x.astype(self.dtype)
         if self.quantized:
+            # The fused int8 kernel is specialised to the reference's 5×32
+            # block; rdb_chain_int8_apply routes any other geometry to the
+            # exact generic XLA int8 formulation (quantize_rdb_chain infers
+            # num_layers/growth from the param shapes), so quantized=True
+            # composes with the whole config space.
             from nerve_tpu.ops import rdb_int8
-
-            if (self.num_layers != rdb_ops.NUM_LAYERS
-                    or self.growth_rate != rdb_ops.GROWTH):
-                # The int8 machinery (quantize_rdb_chain slot layout, fused
-                # kernel) is specialised to the reference's 5×32 block — the
-                # bf16 path falls back to XLA here, but there is no XLA int8
-                # fallback, so fail loudly instead of mis-packing weights.
-                raise NotImplementedError(
-                    f"quantized RDBStack requires num_layers="
-                    f"{rdb_ops.NUM_LAYERS}, growth_rate={rdb_ops.GROWTH}; "
-                    f"got {self.num_layers}/{self.growth_rate}"
-                )
 
             qchain = self.variable(
                 "quant", "qchain",

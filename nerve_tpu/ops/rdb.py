@@ -412,10 +412,15 @@ def rdb_chain_apply(
 
 
 def _rdb_xla(x: jnp.ndarray, params: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Reference XLA formulation (identical math; autodiff/backward path)."""
-    (w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, lw, lb) = params
+    """Reference XLA formulation (identical math; autodiff/backward path).
+
+    Generic over the block geometry: ``params`` is (w_0, b_0, ...,
+    w_{L-1}, b_{L-1}, lw, lb) for any number of dense layers L.
+    """
+    num_layers = len(params) // 2 - 1
+    lw, lb = params[-2], params[-1]
     feats = [x]
-    for wk, bk in ((w1, b1), (w2, b2), (w3, b3), (w4, b4), (w5, b5)):
+    for wk, bk in ((params[2 * i], params[2 * i + 1]) for i in range(num_layers)):
         inp = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
         dn = lax.conv_dimension_numbers(inp.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
         # No preferred_element_type: XLA convs accumulate f32 internally, and

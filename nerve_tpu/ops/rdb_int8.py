@@ -85,22 +85,24 @@ def calibrate_rdb_chain(x: jnp.ndarray, params_list: Sequence) -> jnp.ndarray:
 
     Runs the exact XLA formulation of the chain on ``x`` (any representative
     batch, e.g. aggregated features of a few real frames) and records
-    max-abs statistics.
+    max-abs statistics. Generic over the block geometry: each block's param
+    list is (w_0, b_0, ..., w_{L-1}, b_{L-1}, lw, lb) for any L.
 
     Returns:
-        (num_blocks, 6) f32: ``scales[b] = [s_in, s_f0, ..., s_f4]`` where
-        each s is max-abs/127 of the corresponding tensor (block input /
-        dense-layer relu outputs).
+        (num_blocks, 1 + L) f32: ``scales[b] = [s_in, s_f0, ..., s_f{L-1}]``
+        where each s is max-abs/127 of the corresponding tensor (block
+        input / dense-layer relu outputs).
     """
     x = x.astype(jnp.float32)
     rows = []
     for params in params_list:
-        (w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, lw, lb) = [
-            jnp.asarray(p, jnp.float32) for p in params
-        ]
+        ps = [jnp.asarray(p, jnp.float32) for p in params]
+        num_layers = len(ps) // 2 - 1
+        lw, lb = ps[-2], ps[-1]
         maxes = [jnp.max(jnp.abs(x))]
         feats = [x]
-        for wk, bk in ((w1, b1), (w2, b2), (w3, b3), (w4, b4), (w5, b5)):
+        for i in range(num_layers):
+            wk, bk = ps[2 * i], ps[2 * i + 1]
             inp = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
             dn = lax.conv_dimension_numbers(
                 inp.shape, wk.shape, ("NHWC", "HWIO", "NHWC")
@@ -121,16 +123,18 @@ def calibrate_rdb_chain(x: jnp.ndarray, params_list: Sequence) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 # Weight packing
 # --------------------------------------------------------------------------- #
-def _owner_scales(features: int, k: int, scales: jnp.ndarray) -> jnp.ndarray:
+def _owner_scales(
+    features: int, k: int, scales: jnp.ndarray, growth: int = GROWTH
+) -> jnp.ndarray:
     """Activation scale owning each of the first ``k`` scratch channels.
 
     Slot layout (ops/rdb.py): [0:8) unused, [8:8+features) block input
-    (scale s_in), then GROWTH-sized runs per dense layer (scale s_fi).
+    (scale s_in), then growth-sized runs per dense layer (scale s_fi).
     """
     per_ch = [scales[0]] * FEAT_OFF + [scales[0]] * features
     i = 0
     while len(per_ch) < k:
-        per_ch += [scales[1 + i]] * GROWTH
+        per_ch += [scales[1 + i]] * growth
         i += 1
     return jnp.stack(per_ch[:k])
 
@@ -140,54 +144,64 @@ def quantize_rdb_block(
 ) -> Tuple[List[jnp.ndarray], jnp.ndarray, jnp.ndarray]:
     """One block's f32/bf16 params + act scales → int8 packed weights + meta.
 
+    Generic over (num_layers L, growth G) — both inferred from ``params``
+    (L from the list length, G from the dense kernels' output channels).
+    The default 5×32 geometry produces the wire format the fused Pallas
+    kernel consumes; other geometries are served by the XLA formulation.
+
     Returns:
-        wq:   5 int8 (K_i, 288) dense-tap matrices + 1 int8 (K_5, features)
-              fusion matrix (6 arrays).
-        dq:   (5, 288) f32 per-column dequantisation scales (act scales
+        wq:   L int8 (K_i, 9·G) dense-tap matrices + 1 int8 (K_L, features)
+              fusion matrix (L+1 arrays).
+        dq:   (L, 9·G) f32 per-column dequantisation scales (act scales
               folded in — int32 acc × dq = exact-layer f32).
-        meta: (4, max(288, 2·features)) f32. Scalars are stored replicated
-              along lanes (Mosaic cannot broadcast a (1,1,1) scalar into
-              both sublanes and lanes, so every kernel read is a lane-sized
-              vector):
-              row 0 = biases (5·GROWTH) | pad
+        meta: (4, max(9·G, 2·features, L·G)) f32. Scalars are stored
+              replicated along lanes (Mosaic cannot broadcast a (1,1,1)
+              scalar into both sublanes and lanes, so every kernel read is
+              a lane-sized vector):
+              row 0 = biases (L·G) | pad
               row 1 = lff dq (features) | lff bias (features) | pad
               row 2 = s_in replicated across the whole row
-              row 3 = requant 1/s_fi replicated per GROWTH block
+              row 3 = requant 1/s_fi replicated per G block
     """
     scales = jnp.asarray(scales, jnp.float32)
+    num_layers = len(params) // 2 - 1
+    growth = params[0].shape[3]
+    ntap = 9 * growth
+    layer_k = lambda i: FEAT_OFF + features + growth * i  # noqa: E731
     wq: List[jnp.ndarray] = []
     dqs = []
     biases = []
-    for i in range(NUM_LAYERS):
+    for i in range(num_layers):
         w = jnp.asarray(params[2 * i], jnp.float32)
         b = jnp.asarray(params[2 * i + 1], jnp.float32)
-        ki = _layer_k(i, features)
+        ki = layer_k(i)
         k_in = w.shape[2]
         wp = jnp.pad(w, ((0, 0), (0, 0), (FEAT_OFF, ki - FEAT_OFF - k_in), (0, 0)))
-        wcat = jnp.transpose(wp, (2, 0, 1, 3)).reshape(ki, NTAP)
-        folded = wcat * _owner_scales(features, ki, scales)[:, None]
+        wcat = jnp.transpose(wp, (2, 0, 1, 3)).reshape(ki, ntap)
+        folded = wcat * _owner_scales(features, ki, scales, growth)[:, None]
         col = jnp.maximum(jnp.max(jnp.abs(folded), axis=0), 1e-12) / 127.0
         wq.append(
             jnp.clip(jnp.round(folded / col), -127, 127).astype(jnp.int8)
         )
         dqs.append(col)
         biases.append(b)
-    lw = jnp.asarray(params[10], jnp.float32)
-    lb = jnp.asarray(params[11], jnp.float32)
-    kl = _layer_k(NUM_LAYERS, features)
+    lw = jnp.asarray(params[2 * num_layers], jnp.float32)
+    lb = jnp.asarray(params[2 * num_layers + 1], jnp.float32)
+    kl = layer_k(num_layers)
     lwp = jnp.pad(lw, ((FEAT_OFF, kl - FEAT_OFF - lw.shape[0]), (0, 0)))
-    lfolded = lwp * _owner_scales(features, kl, scales)[:, None]
+    lfolded = lwp * _owner_scales(features, kl, scales, growth)[:, None]
     lcol = jnp.maximum(jnp.max(jnp.abs(lfolded), axis=0), 1e-12) / 127.0
     wq.append(jnp.clip(jnp.round(lfolded / lcol), -127, 127).astype(jnp.int8))
 
-    width = max(NTAP, 2 * features, NUM_LAYERS * GROWTH)
+    width = max(ntap, 2 * features, num_layers * growth)
     meta = jnp.zeros((4, width), jnp.float32)
-    meta = meta.at[0, : NUM_LAYERS * GROWTH].set(jnp.concatenate(biases))
+    meta = meta.at[0, : num_layers * growth].set(jnp.concatenate(biases))
     meta = meta.at[1, :features].set(lcol)
     meta = meta.at[1, features : 2 * features].set(lb)
     meta = meta.at[2, :].set(scales[0])
-    meta = meta.at[3, : NUM_LAYERS * GROWTH].set(
-        jnp.repeat(1.0 / scales[1:], GROWTH, total_repeat_length=NUM_LAYERS * GROWTH)
+    meta = meta.at[3, : num_layers * growth].set(
+        jnp.repeat(1.0 / scales[1:], growth,
+                   total_repeat_length=num_layers * growth)
     )
     return wq, jnp.stack(dqs), meta
 
@@ -199,6 +213,12 @@ def quantize_rdb_chain(params_list: Sequence, scales: jnp.ndarray):
         quantize_rdb_block(params, features, scales[b])
         for b, params in enumerate(params_list)
     )
+
+
+def chain_geometry(qchain) -> Tuple[int, int]:
+    """(num_layers, growth) of a quantised chain's wire format."""
+    wq = qchain[0][0]
+    return len(wq) - 1, wq[0].shape[1] // 9
 
 
 # --------------------------------------------------------------------------- #
@@ -436,6 +456,8 @@ def rdb_chain_int8_xla(x: jnp.ndarray, qchain, out_dtype=None) -> jnp.ndarray:
     """
     out_dtype = out_dtype or x.dtype
     features = x.shape[-1]
+    num_layers, growth = chain_geometry(qchain)
+    layer_k = lambda i: FEAT_OFF + features + growth * i  # noqa: E731
     s_in0 = qchain[0][2][2, 0]
     xq = jnp.clip(
         jnp.round(x.astype(jnp.float32) / s_in0), -127.0, 127.0
@@ -444,39 +466,39 @@ def rdb_chain_int8_xla(x: jnp.ndarray, qchain, out_dtype=None) -> jnp.ndarray:
     for b, (wq, dq, meta) in enumerate(qchain):
         bsz, h, w, _ = xq.shape
         # Dense concat in int8, zero-padded SAME convs via explicit padding.
-        concat = jnp.zeros((bsz, h, w, _layer_k(NUM_LAYERS, features)), jnp.int8)
+        concat = jnp.zeros((bsz, h, w, layer_k(num_layers)), jnp.int8)
         concat = concat.at[..., FEAT_OFF : FEAT_OFF + features].set(xq)
-        for i in range(NUM_LAYERS):
-            ki = _layer_k(i, features)
+        for i in range(num_layers):
+            ki = layer_k(i)
             inp = concat[..., :ki]
             pad = jnp.pad(inp, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            acc = jnp.zeros((bsz, h, w, GROWTH), jnp.float32)
+            acc = jnp.zeros((bsz, h, w, growth), jnp.float32)
             for dy in range(3):
                 for dx in range(3):
-                    c0 = (3 * dy + dx) * GROWTH
+                    c0 = (3 * dy + dx) * growth
                     shifted = pad[:, dy : dy + h, dx : dx + w, :]
                     yi = lax.dot_general(
                         shifted.astype(jnp.int8),
-                        wq[i][:, c0 : c0 + GROWTH],
+                        wq[i][:, c0 : c0 + growth],
                         (((3,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
                     # bf16 round-trip mirrors the kernel's chunk dequant.
                     yb = (
-                        yi.astype(jnp.float32) * dq[i, c0 : c0 + GROWTH]
+                        yi.astype(jnp.float32) * dq[i, c0 : c0 + growth]
                     ).astype(jnp.bfloat16)
                     acc = acc + yb.astype(jnp.float32)
-            bias = meta[0, i * GROWTH : (i + 1) * GROWTH]
+            bias = meta[0, i * growth : (i + 1) * growth]
             f = jnp.maximum(acc + bias, 0.0)
             q = jnp.clip(
-                jnp.round(f * meta[3, i * GROWTH : (i + 1) * GROWTH]),
+                jnp.round(f * meta[3, i * growth : (i + 1) * growth]),
                 -127.0, 127.0,
             )
             concat = concat.at[
-                ..., ki : ki + GROWTH
+                ..., ki : ki + growth
             ].set(q.astype(jnp.int8))
         lff = lax.dot_general(
-            concat, wq[NUM_LAYERS],
+            concat, wq[num_layers],
             (((3,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
@@ -494,9 +516,15 @@ def rdb_chain_int8_xla(x: jnp.ndarray, qchain, out_dtype=None) -> jnp.ndarray:
 def rdb_chain_int8_apply(
     x: jnp.ndarray, qchain, use_pallas: bool | None = None, out_dtype=None
 ) -> jnp.ndarray:
-    """Dispatch a pre-quantised chain (from :func:`quantize_rdb_chain`)."""
+    """Dispatch a pre-quantised chain (from :func:`quantize_rdb_chain`).
+
+    The fused Pallas kernel is specialised to the reference's 5×32 block;
+    any other geometry runs the (exact, generic) XLA int8 formulation.
+    """
     from nerve_tpu.ops.dispatch import pallas_available
 
+    if chain_geometry(qchain) != (NUM_LAYERS, GROWTH):
+        use_pallas = False
     if use_pallas is None:
         use_pallas = pallas_available()
     if use_pallas:
@@ -513,6 +541,8 @@ def rdb_chain_quantized_apply(
     from nerve_tpu.ops.dispatch import pallas_available
 
     qchain = quantize_rdb_chain(params_list, scales)
+    if chain_geometry(qchain) != (NUM_LAYERS, GROWTH):
+        use_pallas = False
     if use_pallas is None:
         use_pallas = pallas_available()
     if use_pallas:

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-4 measurement batch (VERDICT r3 item #1: measure FIRST, not last).
+# Records every BASELINE config on current defaults + the int8 quality cost.
+# Serialise everything: the 1-CPU host cannot overlap TPU compiles.
+set -u
+cd "$(dirname "$0")/.."
+# APPEND to PYTHONPATH (the axon plugin lives at /root/.axon_site).
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+LOG=${1:-/tmp/tpu_batch_r4.log}
+: > "$LOG"
+
+run() {
+  local t="$1"; shift
+  echo "=== $* ===" | tee -a "$LOG"
+  timeout "$t" "$@" 2>&1 | tee -a "$LOG"
+  echo "--- exit ${PIPESTATUS[0]} ---" | tee -a "$LOG"
+}
+
+# 1. Kernel gate (Mosaic lowering/parity on the real chip).
+run 1500 python -u scripts/tpu_gate.py
+# 2. Headline.
+run 900 python -u bench.py
+# 3. Every BASELINE config on current defaults (DX_MAJOR RDB, planar corr).
+run 1500 python -u bench_suite.py sr_full
+run 1500 python -u bench_suite.py sr_full_int8
+run 900 python -u bench_suite.py engine
+run 900 python -u bench_suite.py train
+run 1200 python -u bench_suite.py continual federated abr
+# 4. int8 + coarse-flow quality cost in dB on the full model
+#    (psnr_int8 / psnr_delta_int8_vs_coarse — coded in r2, never recorded).
+run 2400 python -u scripts/eval_parity.py --epochs 40
+echo "DONE $LOG"

@@ -7,8 +7,14 @@ is the scripted gate for TPU runs (VERDICT round 1, weak #6): small-shape
 parity checks of every Pallas kernel against the XLA formulation, ON THE
 ACTUAL CHIP, exiting non-zero on any failure.
 
+Round 4: the checks are individually callable so ``bench.py`` can run the
+QUICK subset (the kernels its headline config dispatches) in its preamble
+and embed the verdict in the recorded JSON line — a fused fps can no longer
+ship ungated (VERDICT r3 item #4; the r2→r3 4× regression shipped that way).
+
 Run on the TPU host (≈2-4 min of Mosaic compiles on first run):
-    python scripts/tpu_gate.py
+    python scripts/tpu_gate.py            # full gate
+    python scripts/tpu_gate.py --quick    # headline-config subset (≤~2 min)
 """
 
 from __future__ import annotations
@@ -18,34 +24,27 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
-FAILURES = []
 
-
-def check(name, err, tol):
+def _check(failures, name, err, tol):
     ok = err <= tol
-    print(f"{'PASS' if ok else 'FAIL'}  {name}: err={err:.3e} (tol {tol:.1e})")
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: err={err:.3e} (tol {tol:.1e})",
+          flush=True)
     if not ok:
-        FAILURES.append(name)
+        failures.append(name)
 
 
-def main() -> int:
-    if jax.default_backend() != "tpu":
-        print("tpu_gate: default backend is not TPU; nothing to gate", flush=True)
-        return 0
-    key = jax.random.PRNGKey(0)
-
-    # ---- fused RDB (bf16) ------------------------------------------------ #
+# --------------------------------------------------------------------------- #
+def check_rdb(failures, key):
+    """Fused bf16 RDB chain vs the XLA formulation."""
     from nerve_tpu.ops import rdb as rdb_ops
 
     feats = 64
     params = []
     cin = feats
-    for i in range(5):
+    for _ in range(5):
         k1, k2, key = jax.random.split(key, 3)
         params += [jax.random.normal(k1, (3, 3, cin, 32)) * 0.08,
                    jax.random.normal(k2, (32,)) * 0.02]
@@ -58,11 +57,28 @@ def main() -> int:
     ref = rdb_ops._rdb_xla(x, params_b).astype(jnp.float32)
     got = rdb_ops.rdb_fused(x, tuple(params_b)).astype(jnp.float32)
     scale = float(jnp.max(jnp.abs(ref)))
-    check("rdb_bf16_vs_xla", float(jnp.max(jnp.abs(got - ref))), 4 * 2.0**-8 * scale)
+    _check(failures, "rdb_bf16_vs_xla",
+           float(jnp.max(jnp.abs(got - ref))), 4 * 2.0**-8 * scale)
+    return params, x
 
-    # ---- int8 RDB chain --------------------------------------------------- #
+
+def check_rdb_int8(failures, key):
+    """int8 RDB chain: Pallas vs the XLA int8 oracle."""
     from nerve_tpu.ops import rdb_int8
 
+    # Rebuild the same chain check_rdb uses (independent so subsets compose).
+    feats = 64
+    params = []
+    cin = feats
+    for _ in range(5):
+        k1, k2, key = jax.random.split(key, 3)
+        params += [jax.random.normal(k1, (3, 3, cin, 32)) * 0.08,
+                   jax.random.normal(k2, (32,)) * 0.02]
+        cin += 32
+    k1, k2, key = jax.random.split(key, 3)
+    params += [jax.random.normal(k1, (cin, feats)) * 0.08,
+               jax.random.normal(k2, (feats,)) * 0.02]
+    x = (jax.random.normal(key, (1, 64, 256, feats)) * 0.5).astype(jnp.bfloat16)
     xf = x.astype(jnp.float32)
     # One jitted program for the whole calibrate+quantise prep: eager
     # execution would dispatch ~100 tiny ops through the tunnel.
@@ -81,10 +97,12 @@ def main() -> int:
     # Mosaic and XLA are separately compiled, so an FMA-contraction ulp in
     # the f32 requant epilogue can flip a borderline round() by one full
     # step (docs/perf_notes.md) — a fixed 1e-3 would gate-flake on that.
-    check("rdb_int8_vs_xla_int8",
-          float(jnp.max(jnp.abs(gotq - refq))), 4 * float(jnp.max(scales)))
+    _check(failures, "rdb_int8_vs_xla_int8",
+           float(jnp.max(jnp.abs(gotq - refq))), 4 * float(jnp.max(scales)))
 
-    # ---- fused conv chain (bf16) ------------------------------------------ #
+
+def check_conv_chain(failures, key):
+    """Fused bf16 conv chain vs XLA f32 oracle."""
     from nerve_tpu.ops import conv_chain as cc
 
     k1, k2, k3, key = jax.random.split(key, 4)
@@ -104,10 +122,14 @@ def main() -> int:
         xc, [(w, b, a) for w, b, a in zip(ws, bs, acts)], use_pallas=True
     ).astype(jnp.float32)
     scale_c = float(jnp.max(jnp.abs(refc)))
-    check("conv_chain_bf16_vs_xla_f32",
-          float(jnp.max(jnp.abs(gotc - refc))), 4 * 2.0**-8 * max(scale_c, 1.0))
+    _check(failures, "conv_chain_bf16_vs_xla_f32",
+           float(jnp.max(jnp.abs(gotc - refc))), 4 * 2.0**-8 * max(scale_c, 1.0))
 
-    # ---- depthwise-bearing whole-body chain (lightweight shape) ----------- #
+
+def check_conv_chain_dw(failures, key):
+    """Depthwise-bearing whole-body chain (lightweight shape)."""
+    from nerve_tpu.ops import conv_chain as cc
+
     k1, k2, k3, k4, key = jax.random.split(key, 5)
     dwc = [
         (jax.random.normal(k1, (3, 3, 3, 8)) * 0.2, jnp.zeros((8,)), "relu"),
@@ -127,11 +149,13 @@ def main() -> int:
         use_pallas=True, tile=(16, 48),
     ).astype(jnp.float32)
     scale_dw = float(jnp.max(jnp.abs(refdw)))
-    check("conv_chain_dw3_bf16_vs_xla_f32",
-          float(jnp.max(jnp.abs(gotdw - refdw))),
-          6 * 2.0**-8 * max(scale_dw, 1.0))
+    _check(failures, "conv_chain_dw3_bf16_vs_xla_f32",
+           float(jnp.max(jnp.abs(gotdw - refdw))),
+           6 * 2.0**-8 * max(scale_dw, 1.0))
 
-    # ---- MXU packed depth-to-space ---------------------------------------- #
+
+def check_d2s(failures, key):
+    """MXU packed depth-to-space vs the reshape oracle (bit-exact)."""
     # ops.__init__ re-exports the pixel_shuffle FUNCTION under the same name
     # as the submodule, so attribute-style imports resolve to the function.
     import importlib
@@ -142,9 +166,12 @@ def main() -> int:
     xd = (jax.random.uniform(k1, (1, 64, 128, 12))).astype(jnp.bfloat16)
     refd = ps.depth_to_space_packed(xd, 2, use_pallas=False).astype(jnp.float32)
     gotd = ps.depth_to_space_packed(xd, 2, use_pallas=True).astype(jnp.float32)
-    check("d2s_packed_mxu_vs_reshape", float(jnp.max(jnp.abs(gotd - refd))), 0.0)
+    _check(failures, "d2s_packed_mxu_vs_reshape",
+           float(jnp.max(jnp.abs(gotd - refd))), 0.0)
 
-    # ---- correlation volume ----------------------------------------------- #
+
+def check_correlation(failures, key):
+    """Correlation volume: NHWC and planar Pallas kernels vs XLA."""
     from nerve_tpu.ops.correlation import correlation_volume
 
     key, k1, k2 = jax.random.split(key, 3)
@@ -153,13 +180,15 @@ def main() -> int:
     refv = correlation_volume(f1, f2, 3, use_pallas=False)
     gotv = correlation_volume(f1, f2, 3, use_pallas=True)
     scale_v = float(jnp.max(jnp.abs(refv)))
-    check("correlation_vs_xla",
-          float(jnp.max(jnp.abs(gotv - refv))), 16 * 2.0**-8 * max(scale_v, 1e-3))
+    _check(failures, "correlation_vs_xla",
+           float(jnp.max(jnp.abs(gotv - refv))), 16 * 2.0**-8 * max(scale_v, 1e-3))
     gotvp = correlation_volume(f1, f2, 3, use_pallas=True, planar=True)
-    check("correlation_planar_vs_xla",
-          float(jnp.max(jnp.abs(gotvp - refv))), 16 * 2.0**-8 * max(scale_v, 1e-3))
+    _check(failures, "correlation_planar_vs_xla",
+           float(jnp.max(jnp.abs(gotvp - refv))), 16 * 2.0**-8 * max(scale_v, 1e-3))
 
-    # ---- end-to-end invariant: untrained lightweight == bicubic ----------- #
+
+def check_lightweight(failures, key):
+    """End-to-end invariant: untrained lightweight == clipped bicubic."""
     from nerve_tpu.models import LightweightSuperResolution
     from nerve_tpu.ops import upsample_bicubic
 
@@ -171,11 +200,52 @@ def main() -> int:
     bic = jnp.clip(upsample_bicubic(frame, 2), 0.0, 1.0)
     # zero-init residual head → output is exactly the clipped bicubic base
     # (computed in f32 on both sides; the model casts its output to bf16).
-    check("lightweight_untrained_equals_bicubic",
-          float(jnp.max(jnp.abs(out - bic))), 2.0**-8)
+    _check(failures, "lightweight_untrained_equals_bicubic",
+           float(jnp.max(jnp.abs(out - bic))), 2.0**-8)
 
-    print(f"\ntpu_gate: {len(FAILURES)} failure(s)")
-    return 1 if FAILURES else 0
+
+CHECKS = {
+    "rdb": check_rdb,
+    "rdb_int8": check_rdb_int8,
+    "conv_chain": check_conv_chain,
+    "conv_chain_dw": check_conv_chain_dw,
+    "d2s": check_d2s,
+    "correlation": check_correlation,
+    "lightweight": check_lightweight,
+}
+
+# What bench.py's headline config (LightweightSuperResolution + packed MXU
+# d2s) actually dispatches — the subset its preamble gate runs.
+QUICK = ("d2s", "conv_chain_dw", "lightweight")
+
+
+def run_gate(names=None) -> list[str]:
+    """Run the named checks on the current backend; returns failure names.
+
+    Returns ``["<not-tpu>"]`` without running anything when the default
+    backend is not TPU — callers must not interpret that as green.
+    """
+    if jax.default_backend() != "tpu":
+        print("tpu_gate: default backend is not TPU; nothing to gate", flush=True)
+        return ["<not-tpu>"]
+    failures: list[str] = []
+    key = jax.random.PRNGKey(0)
+    for i, name in enumerate(names or CHECKS):
+        try:
+            CHECKS[name](failures, jax.random.fold_in(key, i))
+        except Exception as e:  # noqa: BLE001 — a crash IS a gate failure
+            print(f"FAIL  {name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            failures.append(name)
+    return failures
+
+
+def main() -> int:
+    names = QUICK if "--quick" in _sys.argv[1:] else None
+    failures = run_gate(names)
+    if failures == ["<not-tpu>"]:
+        return 0
+    print(f"\ntpu_gate: {len(failures)} failure(s)")
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

@@ -19,19 +19,54 @@ def _small_model(**kw):
 
 
 class TestQuantizedSR:
-    def test_quantized_nonstandard_block_raises(self):
-        """The int8 machinery is specialised to the 5×32 block; a quantized
-        stack with other num_layers must fail loudly, not mis-pack weights
-        (round-2 review: the bf16 path falls back to XLA, int8 cannot)."""
-        import pytest
+    def test_quantized_nonstandard_geometry(self):
+        """quantized=True composes with non-default RDB geometries via the
+        generic XLA int8 fallback (VERDICT r3 item #8): the fused Pallas
+        kernel stays specialised to the reference's 5×32 block, but
+        quantize_rdb_chain infers (num_layers, growth) from the param shapes
+        and rdb_chain_int8_apply routes other geometries to the exact XLA
+        formulation."""
+        from nerve_tpu.models.super_resolution import RDBStack
+        from nerve_tpu.ops import rdb_int8
 
+        stack_f = RDBStack(num_features=16, num_blocks=2, num_layers=4,
+                           growth_rate=16)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 12, 16, 16)) * 2 - 1
+        vars_f = stack_f.init(jax.random.PRNGKey(1), x)
+        ref = stack_f.apply(vars_f, x)
+
+        from nerve_tpu.models.quantize import rdb_params_from_tree
+
+        params_list = rdb_params_from_tree(vars_f["params"], 2, num_layers=4)
+        assert rdb_int8.chain_geometry(
+            rdb_int8.quantize_rdb_chain(
+                params_list, jnp.ones((2, 5)))) == (4, 16)
+        scales = rdb_int8.calibrate_rdb_chain(x.astype(jnp.float32), params_list)
+        assert scales.shape == (2, 5)  # (num_blocks, 1 + num_layers)
+        qchain = rdb_int8.quantize_rdb_chain(params_list, scales)
+
+        stack_q = RDBStack(num_features=16, num_blocks=2, num_layers=4,
+                           growth_rate=16, quantized=True)
+        out = stack_q.apply(
+            {"params": vars_f["params"], "quant": {"qchain": qchain}}, x
+        )
+        assert out.shape == ref.shape
+        err = float(jnp.max(jnp.abs(out - ref)))
+        assert err < 0.1, f"max abs err {err}"
+        psnr_like = -10 * np.log10(float(jnp.mean((out - ref) ** 2)) + 1e-12)
+        assert psnr_like > 30, f"quantisation 'PSNR' vs f32 only {psnr_like:.1f} dB"
+
+    def test_quantized_nonstandard_geometry_init(self):
+        """init of a non-default quantized stack builds a structure-valid
+        default quant collection (unit scales) without raising."""
         from nerve_tpu.models.super_resolution import RDBStack
 
         stack = RDBStack(num_features=16, num_blocks=1, num_layers=4,
-                         quantized=True)
+                         growth_rate=16, quantized=True)
         x = jnp.zeros((1, 8, 8, 16))
-        with pytest.raises(NotImplementedError, match="num_layers"):
-            stack.init(jax.random.PRNGKey(0), x)
+        variables = stack.init(jax.random.PRNGKey(0), x)
+        wq, dq, meta = variables["quant"]["qchain"][0]
+        assert len(wq) == 5 and dq.shape == (4, 144)  # 4 layers, 9·16 taps
 
     def test_quantized_forward_tracks_f32(self):
         model = _small_model()
