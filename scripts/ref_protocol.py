@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Head-to-head quality replication of the reference's README protocol.
+
+The reference's headline quality table (README.md:355-370 — 25.56 dB /
+SSIM 0.9608 / +4.66 dB over a 20.90 dB bicubic) is NOT reproducible from
+its own repo: its data script (scripts/download_data.sh:25-41) generates
+INDEPENDENT ``torch.randn`` LR and HR tensors, on which no SR model can
+beat predicting the mean. The only defensible apples-to-apples comparison
+is therefore SAME-DATA head-to-head (VERDICT r3 item #3):
+
+  1. generate one seeded synthetic dataset (500 train / 100 eval, 64→128
+     2×, structured edges+texture in [0,1] — nerve_tpu.utils.data);
+  2. train the REFERENCE's torch SuperResolutionNet with the reference's
+     own training protocol, executed from /root/reference (AdamW 1e-3,
+     wd 1e-5, cosine, MSE, batch 16 — experiments/train_baseline.py:51-88);
+  3. train OUR SuperResolutionNet with the identical config;
+  4. evaluate BOTH on the same held-out set with the same metrics
+     (+ the bicubic baseline).
+
+Run: python scripts/ref_protocol.py [--epochs 10] [--platform cpu]
+Outputs one JSON line with both stacks' metric tables.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(_os.path.abspath(__file__))), ".."))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def train_reference_torch(train, test, epochs: int, batch_size: int, lr: float,
+                          seed: int):
+    """Execute the reference stack (read-only import from /root/reference)
+    with its own training recipe; return (metrics, seconds)."""
+    import torch
+    import torch.nn as nn
+
+    _sys.path.insert(0, "/root/reference")
+    from nerve_cl.models.super_resolution import SuperResolutionNet as TorchSR
+
+    torch.manual_seed(seed)
+    device = torch.device("cpu")
+    model = TorchSR(
+        scale_factor=2, num_features=32, num_residual_blocks=4,
+        temporal_window=1,
+    ).to(device)
+    # NHWC [0,1] numpy → the reference's NCHW tensors.
+    lr_t = torch.from_numpy(np.transpose(train["lr"], (0, 3, 1, 2))).float()
+    hr_t = torch.from_numpy(np.transpose(train["hr"], (0, 3, 1, 2))).float()
+    ds = torch.utils.data.TensorDataset(lr_t, hr_t)
+    loader = torch.utils.data.DataLoader(ds, batch_size=batch_size, shuffle=True)
+
+    opt = torch.optim.AdamW(model.parameters(), lr=lr, weight_decay=1e-5)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=epochs)
+    crit = nn.MSELoss()
+    t0 = time.time()
+    for epoch in range(epochs):
+        model.train()
+        tot = 0.0
+        for lr_b, hr_b in loader:
+            lr_temporal = lr_b.unsqueeze(1).expand(-1, 3, -1, -1, -1)
+            opt.zero_grad()
+            out = model(lr_temporal)
+            loss = crit(out, hr_b)
+            loss.backward()
+            opt.step()
+            tot += loss.item()
+        sched.step()
+        print(f"[torch] epoch {epoch + 1}/{epochs}: loss={tot / len(loader):.5f}",
+              flush=True)
+    secs = time.time() - t0
+
+    model.eval()
+    lr_e = torch.from_numpy(np.transpose(test["lr"], (0, 3, 1, 2))).float()
+    with torch.no_grad():
+        preds = []
+        for i in range(0, lr_e.shape[0], batch_size):
+            b = lr_e[i : i + batch_size].unsqueeze(1).expand(-1, 3, -1, -1, -1)
+            preds.append(model(b))
+        pred = torch.cat(preds).numpy()
+    return np.transpose(pred, (0, 2, 3, 1)), secs
+
+
+def train_ours_jax(train, test, epochs: int, batch_size: int, lr: float,
+                   seed: int):
+    """Our stack under the identical protocol; returns (pred NHWC, secs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerve_tpu import training
+    from nerve_tpu.config.schema import TrainingConfig
+    from nerve_tpu.models import SuperResolutionNet
+    from nerve_tpu.utils import data as data_lib
+
+    model = SuperResolutionNet(
+        scale_factor=2, num_features=32, num_residual_blocks=4,
+        temporal_window=1,
+    )
+    cfg = TrainingConfig(
+        epochs=epochs, batch_size=batch_size, learning_rate=lr,
+        weight_decay=1e-5, optimizer="adamw", scheduler="cosine",
+        warmup_epochs=0,  # the reference has no warmup
+    )
+    lr_all = jnp.asarray(train["lr"])
+    hr_all = jnp.asarray(train["hr"])
+    n = lr_all.shape[0] - lr_all.shape[0] % batch_size
+    steps_per_epoch = n // batch_size
+    tx = training.create_optimizer(cfg, steps_per_epoch)
+    lr_win0 = data_lib.expand_temporal(lr_all[:batch_size], 3)
+    state = training.create_sr_state(model, lr_win0, tx, seed=seed)
+    step = training.make_sr_train_step(model, loss_kind="mse")
+
+    import jax.random as jrandom
+
+    key = jrandom.PRNGKey(seed + 1)
+    t0 = time.time()
+    for epoch in range(epochs):
+        key, kp = jrandom.split(key)
+        perm = jrandom.permutation(kp, n)
+        last = None
+        for i in range(steps_per_epoch):
+            idx = perm[i * batch_size : (i + 1) * batch_size]
+            lr_win = data_lib.expand_temporal(lr_all[idx], 3)
+            state, last = step(state, lr_win, hr_all[idx])
+        print(f"[jax]   epoch {epoch + 1}/{epochs}: "
+              f"loss={float(last['loss']):.5f}", flush=True)
+    secs = time.time() - t0
+
+    lr_e = jnp.asarray(test["lr"])
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = jax.jit(lambda x: model.apply(variables, x))
+    preds = []
+    for i in range(0, lr_e.shape[0], batch_size):
+        preds.append(np.asarray(fwd(data_lib.expand_temporal(
+            lr_e[i : i + batch_size], 3))))
+    return np.concatenate(preds), secs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=10)  # the reference default
+    p.add_argument("--train-samples", type=int, default=500)
+    p.add_argument("--eval-samples", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--platform", default="cpu", choices=("cpu", "tpu"),
+                   help="JAX platform for OUR side (torch is CPU either way)")
+    p.add_argument("--skip-torch", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from nerve_tpu.utils import data as data_lib
+    from nerve_tpu.utils.metrics import mae, mse, psnr, ssim
+    from nerve_tpu import ops
+
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(args.seed)
+    k_train, k_eval = jax.random.split(key)
+    train = {k: np.asarray(v) for k, v in data_lib.make_sr_dataset(
+        k_train, args.train_samples, 64, 2).items()}
+    test = {k: np.asarray(v) for k, v in data_lib.make_sr_dataset(
+        k_eval, args.eval_samples, 64, 2).items()}
+
+    hr_t = jnp.asarray(test["hr"])
+    bicubic = jnp.clip(ops.upsample_bicubic(jnp.asarray(test["lr"]), 2), 0, 1)
+
+    def table(pred):
+        pred = jnp.clip(jnp.asarray(pred), 0.0, 1.0)
+        return {
+            "psnr": round(float(psnr(pred, hr_t)), 4),
+            "ssim": round(float(ssim(pred, hr_t)), 4),
+            "mae": round(float(mae(pred, hr_t)), 4),
+            "mse": round(float(mse(pred, hr_t)), 5),
+        }
+
+    results = {
+        "protocol": {
+            "train_samples": args.train_samples,
+            "eval_samples": args.eval_samples,
+            "epochs": args.epochs, "batch_size": args.batch_size,
+            "lr": args.lr, "optimizer": "adamw(wd=1e-5)+cosine",
+            "data": "seeded structured edges+texture, 64->128 2x, "
+                    "box-decimated LR (identical arrays to both stacks)",
+        },
+        "bicubic": table(bicubic),
+    }
+    ours_pred, ours_s = train_ours_jax(
+        train, test, args.epochs, args.batch_size, args.lr, args.seed)
+    results["nerve_tpu"] = table(ours_pred)
+    results["nerve_tpu"]["train_seconds"] = round(ours_s, 1)
+    if not args.skip_torch:
+        ref_pred, ref_s = train_reference_torch(
+            train, test, args.epochs, args.batch_size, args.lr, args.seed)
+        results["reference_torch"] = table(ref_pred)
+        results["reference_torch"]["train_seconds"] = round(ref_s, 1)
+        results["psnr_delta_ours_minus_reference"] = round(
+            results["nerve_tpu"]["psnr"] - results["reference_torch"]["psnr"], 4)
+    results["nerve_tpu"]["psnr_gain_over_bicubic"] = round(
+        results["nerve_tpu"]["psnr"] - results["bicubic"]["psnr"], 4)
+    if "reference_torch" in results:
+        results["reference_torch"]["psnr_gain_over_bicubic"] = round(
+            results["reference_torch"]["psnr"] - results["bicubic"]["psnr"], 4)
+
+    print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -29,4 +29,10 @@ run 1200 python -u bench_suite.py continual federated abr
 # 4. int8 + coarse-flow quality cost in dB on the full model
 #    (psnr_int8 / psnr_delta_int8_vs_coarse — coded in r2, never recorded).
 run 2400 python -u scripts/eval_parity.py --epochs 40
+# 5. Round-4 int8 extensions: conv-chain sites bf16 vs int8 at serving
+#    shapes, and the dx-major schedule on the int8 RDB kernel (the bf16
+#    kernel's −12 % win, never yet timed on the int8 variant).
+run 1800 python -u scripts/diag_chain_int8.py
+run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16
+run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16 --dx-major
 echo "DONE $LOG"
