@@ -140,7 +140,8 @@ def _owner_scales(
 
 
 def quantize_rdb_block(
-    params: Sequence[jnp.ndarray], features: int, scales: jnp.ndarray
+    params: Sequence[jnp.ndarray], features: int, scales: jnp.ndarray,
+    per_channel: bool = False,
 ) -> Tuple[List[jnp.ndarray], jnp.ndarray, jnp.ndarray]:
     """One block's f32/bf16 params + act scales → int8 packed weights + meta.
 
@@ -180,6 +181,14 @@ def quantize_rdb_block(
         wcat = jnp.transpose(wp, (2, 0, 1, 3)).reshape(ki, ntap)
         folded = wcat * _owner_scales(features, ki, scales, growth)[:, None]
         col = jnp.maximum(jnp.max(jnp.abs(folded), axis=0), 1e-12) / 127.0
+        if per_channel:
+            # One scale per OUTPUT CHANNEL shared across its 9 tap columns:
+            # the int32 partials of all taps then share a dequant factor, so
+            # the kernel can accumulate the nine shifted adds in int32 and
+            # dequantise ONCE per layer (int32_taps schedule) instead of
+            # per 3·G chunk. Slightly coarser than per-column (the max is
+            # over 9 columns) — standard per-channel PTQ.
+            col = jnp.tile(jnp.max(col.reshape(9, growth), axis=0), 9)
         wq.append(
             jnp.clip(jnp.round(folded / col), -127, 127).astype(jnp.int8)
         )
@@ -206,11 +215,12 @@ def quantize_rdb_block(
     return wq, jnp.stack(dqs), meta
 
 
-def quantize_rdb_chain(params_list: Sequence, scales: jnp.ndarray):
+def quantize_rdb_chain(params_list: Sequence, scales: jnp.ndarray,
+                       per_channel: bool = False):
     """Whole-chain quantisation: per-block (wq, dq, meta) tuples."""
     features = params_list[0][0].shape[2]
     return tuple(
-        quantize_rdb_block(params, features, scales[b])
+        quantize_rdb_block(params, features, scales[b], per_channel)
         for b, params in enumerate(params_list)
     )
 
@@ -234,6 +244,7 @@ def _rdb_int8_kernel(
     th: int, tw: int, features: int, img_h: int, img_w: int,
     nh_static: int, nw_static: int, out_int8: bool,
     dx_major: bool = DX_MAJOR_INT8,
+    int32_taps: bool = False,
 ):
     """Fused int8 RDB on NHWC tiles (structure mirrors rdb._rdb_kernel).
 
@@ -303,30 +314,53 @@ def _rdb_int8_kernel(
         return y.reshape(ph, pw, wcols.shape[1])
 
     for i, w_ref in enumerate((w0_ref, w1_ref, w2_ref, w3_ref, w4_ref)):
-        acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
-        # `outer` iterates dy (dy-major packing) or dx (dx-major packing).
-        for outer in range(3):
-            y = matmul(w_ref, 3 * outer * GROWTH, (3 * outer + 3) * GROWTH)
-            # Dequantise the whole 96-lane chunk ONCE (int32→f32 × per-col
-            # scale → bf16), then do the nine shifted adds exactly like the
-            # bf16 kernel — per-tap dequant during the adds measured
-            # +3.5 ms/block of extra VPU converts.
-            dq = dq_ref[i : i + 1, 3 * outer * GROWTH : (3 * outer + 3) * GROWTH]
-            y = (y.astype(jnp.float32) * dq.reshape(1, 1, 3 * GROWTH)).astype(
-                jnp.bfloat16
-            )
-            if dx_major:
-                ysub = y[:, outer : outer + ww, :]
-                for dy in range(3):
-                    acc = acc + ysub[
-                        dy : dy + hh, :, dy * GROWTH : (dy + 1) * GROWTH
-                    ].astype(jnp.float32)
-            else:
-                for dx in range(3):
-                    acc = acc + y[
-                        outer : outer + hh, dx : dx + ww,
-                        dx * GROWTH : (dx + 1) * GROWTH,
-                    ].astype(jnp.float32)
+        if int32_taps:
+            # Per-channel (tap-shared) scales: the nine shifted tap adds run
+            # in int32 and the layer dequantises ONCE — removes the per-chunk
+            # f32 mult + bf16 cast VPU passes of the per-column schedule.
+            # Overflow-safe: |y| ≤ 127²·288 per tap, ×9 ≈ 4.2e7 « 2³¹.
+            acci = jnp.zeros((hh, ww, GROWTH), jnp.int32)
+            for outer in range(3):
+                y = matmul(w_ref, 3 * outer * GROWTH, (3 * outer + 3) * GROWTH)
+                if dx_major:
+                    ysub = y[:, outer : outer + ww, :]
+                    for dy in range(3):
+                        acci = acci + ysub[
+                            dy : dy + hh, :, dy * GROWTH : (dy + 1) * GROWTH
+                        ]
+                else:
+                    for dx in range(3):
+                        acci = acci + y[
+                            outer : outer + hh, dx : dx + ww,
+                            dx * GROWTH : (dx + 1) * GROWTH,
+                        ]
+            dq = dq_ref[i : i + 1, :GROWTH]  # tap-shared per-channel scales
+            acc = acci.astype(jnp.float32) * dq.reshape(1, 1, GROWTH)
+        else:
+            acc = jnp.zeros((hh, ww, GROWTH), jnp.float32)
+            # `outer` iterates dy (dy-major packing) or dx (dx-major packing).
+            for outer in range(3):
+                y = matmul(w_ref, 3 * outer * GROWTH, (3 * outer + 3) * GROWTH)
+                # Dequantise the whole 96-lane chunk ONCE (int32→f32 × per-col
+                # scale → bf16), then do the nine shifted adds exactly like the
+                # bf16 kernel — per-tap dequant during the adds measured
+                # +3.5 ms/block of extra VPU converts.
+                dq = dq_ref[i : i + 1, 3 * outer * GROWTH : (3 * outer + 3) * GROWTH]
+                y = (y.astype(jnp.float32) * dq.reshape(1, 1, 3 * GROWTH)).astype(
+                    jnp.bfloat16
+                )
+                if dx_major:
+                    ysub = y[:, outer : outer + ww, :]
+                    for dy in range(3):
+                        acc = acc + ysub[
+                            dy : dy + hh, :, dy * GROWTH : (dy + 1) * GROWTH
+                        ].astype(jnp.float32)
+                else:
+                    for dx in range(3):
+                        acc = acc + y[
+                            outer : outer + hh, dx : dx + ww,
+                            dx * GROWTH : (dx + 1) * GROWTH,
+                        ].astype(jnp.float32)
         bias = meta_ref[0:1, i * GROWTH : (i + 1) * GROWTH].reshape(1, 1, GROWTH)
         f = jnp.maximum(acc + bias, 0.0)
         inv = meta_ref[3:4, i * GROWTH : (i + 1) * GROWTH].reshape(1, 1, GROWTH)
@@ -359,6 +393,7 @@ def _rdb_int8_pallas(
     th: int = 64,
     tw: int = 240,
     dx_major: bool | None = None,
+    int32_taps: bool = False,
 ) -> jnp.ndarray:
     """One quantised RDB on an int8 NHWC (B, H, W, C) array."""
     b, h, w, c = xq.shape
@@ -382,6 +417,7 @@ def _rdb_int8_pallas(
     kernel = functools.partial(
         _rdb_int8_kernel, th=th, tw=tw, features=c, img_h=h, img_w=w,
         nh_static=nh, nw_static=nw, out_int8=out_int8, dx_major=dx_major,
+        int32_taps=int32_taps,
     )
     quad_spec = lambda sh, sw: pl.BlockSpec(  # noqa: E731
         (1, th, tw, c),
@@ -422,13 +458,15 @@ def _rdb_int8_pallas(
 # --------------------------------------------------------------------------- #
 def rdb_chain_int8_pallas(
     x: jnp.ndarray, qchain, out_dtype=None, th: int = 64, tw: int = 240,
-    dx_major: bool | None = None,
+    dx_major: bool | None = None, int32_taps: bool = False,
 ) -> jnp.ndarray:
     """Quantised RDB chain on TPU: int8 end-to-end between blocks.
 
     ``qchain`` from :func:`quantize_rdb_chain`. The input is quantised once
     at block 0's input scale; every inter-block tensor is int8 in HBM; the
     final block dequantises to ``out_dtype`` (default: x.dtype).
+    ``int32_taps`` requires a per-channel-quantised chain
+    (``quantize_rdb_chain(..., per_channel=True)``).
     """
     out_dtype = out_dtype or x.dtype
     s_in0 = qchain[0][2][2, 0]
@@ -441,18 +479,21 @@ def rdb_chain_int8_pallas(
         nmeta = jnp.ones_like(qblock[2]) if last else qchain[b + 1][2]
         xq = _rdb_int8_pallas(
             xq, qblock, nmeta, out_dtype if last else jnp.int8, th=th, tw=tw,
-            dx_major=dx_major,
+            dx_major=dx_major, int32_taps=int32_taps,
         )
     return xq
 
 
-def rdb_chain_int8_xla(x: jnp.ndarray, qchain, out_dtype=None) -> jnp.ndarray:
+def rdb_chain_int8_xla(x: jnp.ndarray, qchain, out_dtype=None,
+                       int32_taps: bool = False) -> jnp.ndarray:
     """Bit-faithful XLA formulation of the int8 chain (CPU / testing).
 
     Mirrors the kernel's arithmetic exactly: int8 matmuls into int32,
     per-column f32 dequant, f32 epilogue, int8 requant — so interp-free
     parity tests of the Pallas kernel can run anywhere, and the quantised
-    model's QUALITY (PSNR delta) can be measured off-TPU.
+    model's QUALITY (PSNR delta) can be measured off-TPU. ``int32_taps``
+    mirrors the per-channel kernel schedule (int32 tap accumulation, one
+    dequant per layer).
     """
     out_dtype = out_dtype or x.dtype
     features = x.shape[-1]
@@ -472,22 +513,36 @@ def rdb_chain_int8_xla(x: jnp.ndarray, qchain, out_dtype=None) -> jnp.ndarray:
             ki = layer_k(i)
             inp = concat[..., :ki]
             pad = jnp.pad(inp, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            acc = jnp.zeros((bsz, h, w, growth), jnp.float32)
-            for dy in range(3):
-                for dx in range(3):
-                    c0 = (3 * dy + dx) * growth
-                    shifted = pad[:, dy : dy + h, dx : dx + w, :]
-                    yi = lax.dot_general(
-                        shifted.astype(jnp.int8),
-                        wq[i][:, c0 : c0 + growth],
-                        (((3,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
-                    # bf16 round-trip mirrors the kernel's chunk dequant.
-                    yb = (
-                        yi.astype(jnp.float32) * dq[i, c0 : c0 + growth]
-                    ).astype(jnp.bfloat16)
-                    acc = acc + yb.astype(jnp.float32)
+            if int32_taps:
+                acci = jnp.zeros((bsz, h, w, growth), jnp.int32)
+                for dy in range(3):
+                    for dx in range(3):
+                        c0 = (3 * dy + dx) * growth
+                        shifted = pad[:, dy : dy + h, dx : dx + w, :]
+                        acci = acci + lax.dot_general(
+                            shifted.astype(jnp.int8),
+                            wq[i][:, c0 : c0 + growth],
+                            (((3,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+                acc = acci.astype(jnp.float32) * dq[i, :growth]
+            else:
+                acc = jnp.zeros((bsz, h, w, growth), jnp.float32)
+                for dy in range(3):
+                    for dx in range(3):
+                        c0 = (3 * dy + dx) * growth
+                        shifted = pad[:, dy : dy + h, dx : dx + w, :]
+                        yi = lax.dot_general(
+                            shifted.astype(jnp.int8),
+                            wq[i][:, c0 : c0 + growth],
+                            (((3,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+                        # bf16 round-trip mirrors the kernel's chunk dequant.
+                        yb = (
+                            yi.astype(jnp.float32) * dq[i, c0 : c0 + growth]
+                        ).astype(jnp.bfloat16)
+                        acc = acc + yb.astype(jnp.float32)
             bias = meta[0, i * growth : (i + 1) * growth]
             f = jnp.maximum(acc + bias, 0.0)
             q = jnp.clip(

@@ -62,6 +62,10 @@ def main():
     p.add_argument("--skip-check", action="store_true")
     p.add_argument("--dx-major", action="store_true",
                    help="A/B the dx-major chunk schedule (see ops/rdb_int8)")
+    p.add_argument("--per-channel", action="store_true",
+                   help="per-channel (tap-shared) scales + int32 tap "
+                        "accumulation: one dequant per layer instead of "
+                        "per 96-lane chunk (round-4 VPU-work experiment)")
     args = p.parse_args()
 
     key = jax.random.PRNGKey(0)
@@ -75,10 +79,13 @@ def main():
     if not args.skip_check:
         xs = jax.random.normal(jax.random.fold_in(key, 9), (1, 64, 256, feats)) * 0.5
         scales = rdb_int8.calibrate_rdb_chain(xs, params_small)
-        qchain = rdb_int8.quantize_rdb_chain(params_small, scales)
-        ref = rdb_int8.rdb_chain_int8_xla(xs, qchain)
+        qchain = rdb_int8.quantize_rdb_chain(
+            params_small, scales, per_channel=args.per_channel
+        )
+        ref = rdb_int8.rdb_chain_int8_xla(xs, qchain, int32_taps=args.per_channel)
         out = rdb_int8.rdb_chain_int8_pallas(
-            xs, qchain, th=32, tw=128, dx_major=args.dx_major
+            xs, qchain, th=32, tw=128, dx_major=args.dx_major,
+            int32_taps=args.per_channel,
         )
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
         print(f"small-shape kernel vs XLA-int8 max|err| = {err:.2e}")
@@ -94,7 +101,9 @@ def main():
     scales = rdb_int8.calibrate_rdb_chain(xcal, params_list)
     qchain = jax.tree.map(
         lambda a: a,
-        rdb_int8.quantize_rdb_chain(params_list, scales),
+        rdb_int8.quantize_rdb_chain(
+            params_list, scales, per_channel=args.per_channel
+        ),
     )
     x = (jax.random.normal(jax.random.fold_in(key, 8), (1, args.h, args.w, feats)) * 0.5
          ).astype(jnp.bfloat16)
@@ -111,7 +120,7 @@ def main():
     def run_int8(x):
         return rdb_int8.rdb_chain_int8_pallas(
             x, qchain, out_dtype=jnp.bfloat16, th=args.th, tw=args.tw,
-            dx_major=args.dx_major,
+            dx_major=args.dx_major, int32_taps=args.per_channel,
         )
 
     t_bf16 = None

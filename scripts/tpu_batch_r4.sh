@@ -18,8 +18,9 @@ run() {
 
 # 1. Kernel gate (Mosaic lowering/parity on the real chip).
 run 1500 python -u scripts/tpu_gate.py
-# 2. Headline.
+# 2. Headline, then the round-4 headroom A/Bs (layouts, batching, stages).
 run 900 python -u bench.py
+run 1500 python -u scripts/diag_lightweight2.py
 # 3. Every BASELINE config on current defaults (DX_MAJOR RDB, planar corr).
 run 1500 python -u bench_suite.py sr_full
 run 1500 python -u bench_suite.py sr_full_int8
@@ -35,4 +36,6 @@ run 2400 python -u scripts/eval_parity.py --epochs 40
 run 1800 python -u scripts/diag_chain_int8.py
 run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16
 run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16 --dx-major
+run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16 --per-channel
+run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16 --per-channel --dx-major
 echo "DONE $LOG"

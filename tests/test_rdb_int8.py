@@ -178,3 +178,59 @@ class TestKernelParity:
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             atol=1e-2, rtol=0,
         )
+
+
+class TestPerChannelInt32Taps:
+    """Round-4 variant: per-channel (tap-shared) scales + int32 tap
+    accumulation — one dequant per layer instead of per 96-lane chunk."""
+
+    def test_quality_tracks_f32(self, chain):
+        x, params_list = chain
+        scales = rdb_int8.calibrate_rdb_chain(x, params_list)
+        qchain = rdb_int8.quantize_rdb_chain(params_list, scales,
+                                             per_channel=True)
+        out = rdb_int8.rdb_chain_int8_xla(x, qchain, int32_taps=True,
+                                          out_dtype=jnp.float32)
+        ref = x
+        for prm in params_list:
+            ref = rdb_ops._rdb_xla(ref, [jnp.asarray(t) for t in prm])
+        rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
+        assert rel < 0.06, f"per-channel int8 relative err {rel:.4f}"
+
+    def test_pallas_matches_xla(self, chain):
+        from jax.experimental.pallas import tpu as pltpu
+
+        x, params_list = chain
+        scales = rdb_int8.calibrate_rdb_chain(x, params_list)
+        qchain = rdb_int8.quantize_rdb_chain(params_list, scales,
+                                             per_channel=True)
+        ref = rdb_int8.rdb_chain_int8_xla(x, qchain, int32_taps=True,
+                                          out_dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = rdb_int8.rdb_chain_int8_pallas(
+                x, qchain, out_dtype=jnp.float32, th=32, tw=128,
+                int32_taps=True,
+            )
+        tol = 4 * float(jnp.max(scales))
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err <= tol, f"kernel vs XLA int8 err {err:.5f} (tol {tol:.5f})"
+
+    def test_dx_major_composes(self, chain):
+        """The dx-major column permutation must preserve per-channel
+        tap-shared dequant (first-G columns stay the channel scales)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        x, params_list = chain
+        scales = rdb_int8.calibrate_rdb_chain(x, params_list)
+        qchain = rdb_int8.quantize_rdb_chain(params_list, scales,
+                                             per_channel=True)
+        ref = rdb_int8.rdb_chain_int8_xla(x, qchain, int32_taps=True,
+                                          out_dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = rdb_int8.rdb_chain_int8_pallas(
+                x, qchain, out_dtype=jnp.float32, th=32, tw=128,
+                int32_taps=True, dx_major=True,
+            )
+        tol = 4 * float(jnp.max(scales))
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err <= tol, f"dx-major int32-taps err {err:.5f} (tol {tol:.5f})"
