@@ -57,6 +57,11 @@ def run_lightweight_bench() -> dict:
     on_tpu = jax.default_backend() == "tpu"
     h, w = (1080, 1920) if on_tpu else (72, 128)
     n_frames = 32 if on_tpu else 2
+    # Output layout for the headline: 'packed' (B, sH, sW·C) interleaved rows
+    # — byte-identical to row-major RGB — or 'planar' (B, C, sH, sW), the
+    # reference's native NCHW serving contract. Both materialise every frame;
+    # parity is asserted by scripts/diag_lightweight2.py before any flip.
+    layout = os.environ.get("NERVE_BENCH_LAYOUT", "packed")
 
     def _measure() -> float:
         """Build, init, warm up, and time the full streaming loop.
@@ -85,7 +90,7 @@ def run_lightweight_bench() -> dict:
 
             def body(state, _):
                 fr, acc = state
-                out = model.apply(v, fr, False, "packed")
+                out = model.apply(v, fr, False, layout)
                 s = jnp.mean(out[0, :64, :64], dtype=jnp.float32)
                 bump = fr[:1, :1, :1, :1] + (s * 1e-12).astype(fr.dtype)
                 fr = jax.lax.dynamic_update_slice(fr, bump, (0, 0, 0, 0))

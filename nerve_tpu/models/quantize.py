@@ -32,7 +32,9 @@ def _calibrate_and_quantize(agg, params_list):
     """One jitted program for scale calibration + weight quantisation —
     eagerly this is ~100 tiny dispatches, painful on tunneled TPU setups."""
     scales = rdb_int8.calibrate_rdb_chain(agg, params_list)
-    return scales, rdb_int8.quantize_rdb_chain(params_list, scales)
+    return scales, rdb_int8.quantize_rdb_chain(
+        params_list, scales, per_channel=rdb_int8.PER_CHANNEL_INT8
+    )
 
 
 def rdb_params_from_tree(rdbs_params: Dict[str, Any], num_blocks: int,

@@ -66,6 +66,14 @@ NTAP = 9 * GROWTH  # 288 packed tap columns per dense layer
 # artifacts (quantize_rdb_chain output) keep the dy-major wire format.
 DX_MAJOR_INT8 = False  # flipped by measurement; see docs/perf_notes.md
 
+# Production quantisation scheme for the model-level serving path
+# (models/quantize.py + RDBStack): False = per-column scales + per-chunk
+# dequant (round-2 production), True = per-channel tap-shared scales +
+# int32 tap accumulation (round-4 variant). Consulted at BOTH quantise and
+# apply time — artifacts quantised under one setting must be rebuilt after
+# flipping. Decided by scripts/diag_rdb_int8.py --per-channel on hardware.
+PER_CHANNEL_INT8 = False
+
 
 def _permute_cols_dx(mat: jnp.ndarray) -> jnp.ndarray:
     """Permute 288 packed tap columns from (3·dy+dx) to (3·dx+dy) order."""
@@ -583,8 +591,12 @@ def rdb_chain_int8_apply(
     if use_pallas is None:
         use_pallas = pallas_available()
     if use_pallas:
-        return rdb_chain_int8_pallas(x, qchain, out_dtype=out_dtype)
-    return rdb_chain_int8_xla(x, qchain, out_dtype=out_dtype)
+        return rdb_chain_int8_pallas(
+            x, qchain, out_dtype=out_dtype, int32_taps=PER_CHANNEL_INT8
+        )
+    return rdb_chain_int8_xla(
+        x, qchain, out_dtype=out_dtype, int32_taps=PER_CHANNEL_INT8
+    )
 
 
 def rdb_chain_quantized_apply(
