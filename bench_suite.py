@@ -282,7 +282,7 @@ def bench_abr() -> None:
 
 
 # --------------------------------------------------------------------------- #
-def bench_sr_full(quantized: bool = False) -> None:
+def bench_sr_full(quantized: bool = False, quantized_chains: bool = False) -> None:
     """Config #1 full pipeline: SuperResolutionNet 1080p→2160p streaming.
 
     The flagship model's streaming serving path (feature-reuse carry, coarse
@@ -300,12 +300,15 @@ def bench_sr_full(quantized: bool = False) -> None:
     model = SuperResolutionNet(
         scale_factor=2, num_features=64, num_residual_blocks=8,
         temporal_window=1, flow_downsample=2, quantized=quantized,
+        quantized_chains=quantized_chains,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     key = jax.random.PRNGKey(0)
     frames = jax.random.uniform(key, (1, 3, h, w, 3), jnp.float32)
-    variables = jax.jit(model.clone(quantized=False).init)(key, frames)
-    if quantized:
+    variables = jax.jit(
+        model.clone(quantized=False, quantized_chains=False).init
+    )(key, frames)
+    if quantized or quantized_chains:
         # Calibrate on a downscaled window (cheap; per-tensor max-abs).
         variables = quantize_sr_variables(model, variables, frames[:, :, :270, :480])
 
@@ -329,7 +332,9 @@ def bench_sr_full(quantized: bool = False) -> None:
     float(run_n(variables, frames))
     best = _time_best(lambda: float(run_n(variables, frames)))
     fps = n_frames / best
-    tag = "int8" if quantized else "bf16"
+    tag = (
+        "int8full" if quantized_chains else ("int8" if quantized else "bf16")
+    )
     _emit(
         f"sr_full_1080p_2x_fps_{tag}" if on_tpu else f"sr_full_proxy_fps_cpu_{tag}",
         fps, "frames/sec/chip", fps / 60.0,
@@ -340,9 +345,16 @@ def bench_sr_full_int8() -> None:
     bench_sr_full(quantized=True)
 
 
+def bench_sr_full_int8_chains() -> None:
+    """int8 everywhere the fused chains run: RDB stack + head/flow/attention/
+    gff/upsampler (VERDICT r3 item #2 — extend int8 past the RDB chain)."""
+    bench_sr_full(quantized=True, quantized_chains=True)
+
+
 ALL = {
     "sr_full": bench_sr_full,
     "sr_full_int8": bench_sr_full_int8,
+    "sr_full_int8full": bench_sr_full_int8_chains,
     "lightweight": bench_lightweight,
     "engine": bench_engine,
     "train": bench_train,

@@ -64,6 +64,11 @@ class EngineConfig:
     # the "quant" collection built by models.quantize.quantize_sr_variables
     # (pass frames through the engine's SR sub-window for calibration).
     sr_quantized: bool = False
+    # int8 for the SR net's conv-chain sites outside the RDB stack too
+    # (head/flow/attention/gff/upsampler — SuperResolutionNet.quantized_chains).
+    sr_quantized_chains: bool = False
+    # Internal: calibration forward (models.quantize.quantize_engine_variables).
+    sr_quant_calibrate: bool = False
     enhancement_mode: str = "sequential"
 
     def with_mode(self, mode: str) -> "EngineConfig":
@@ -155,6 +160,8 @@ class EnhancementEngine(nn.Module):
                     num_residual_blocks=cfg.sr_num_residual_blocks,
                     temporal_window=sw,
                     quantized=cfg.sr_quantized,
+                    quantized_chains=cfg.sr_quantized_chains,
+                    quant_calibrate=cfg.sr_quant_calibrate,
                     dtype=self.dtype,
                     name="super_resolution",
                 )

@@ -51,6 +51,92 @@ class ConvParams(nn.Module):
         return k, b
 
 
+def maybe_quantized_chain(mod: nn.Module, name: str, x, entries,
+                          chain_quant: str = "off",
+                          use_pallas: Optional[bool] = None):
+    """Route a fused conv chain through static-PTQ int8 when asked.
+
+    ``entries``: ``[(kernel, bias, act), ...]`` as for
+    :func:`nerve_tpu.ops.conv_chain_apply`. ``chain_quant``:
+
+      * ``"off"``       — production bf16/f32 fused chain (default).
+      * ``"serve"``     — int8 weights+activations with STATIC scales read
+        from the module's ``"quant"`` collection entry ``name`` (built by
+        :mod:`nerve_tpu.models.quantize`); f32 epilogues
+        (:mod:`nerve_tpu.ops.conv_chain_int8`).
+      * ``"calibrate"`` — compute max-abs activation scales from THIS
+        input, store the pre-quantised chain into the mutable ``"quant"``
+        collection, and return the EXACT f32/bf16 result so downstream
+        sites calibrate on the true (unquantised) distribution.
+
+    No reference analogue (nerve_cl serves f32 torch end to end); this is
+    the TPU v5e 394-TOPS serving path, VERDICT r3 item #2.
+    """
+    if chain_quant == "off":
+        return ops.conv_chain_apply(x, entries, use_pallas=use_pallas)
+    if chain_quant not in ("serve", "calibrate"):
+        raise ValueError(f"unknown chain_quant {chain_quant!r}")
+    from nerve_tpu.ops import conv_chain_int8 as cc8
+
+    params = [
+        (jnp.asarray(k, jnp.float32), jnp.asarray(b, jnp.float32), act)
+        for k, b, act in entries
+    ]
+    acts = tuple(act for _k, _b, act in entries)
+    # The variable stores ARRAYS only ((qlayers, s_in) — the act strings are
+    # static structure, rebuilt from ``entries``): the calibration pass runs
+    # under jit and returns this collection as a jit output.
+    qvar = mod.variable(
+        "quant", name,
+        # Structure-valid default (unit act scales) so init works; real
+        # scales come from the calibration pass.
+        lambda: cc8.quantize_conv_chain(
+            params, jnp.ones((len(params) + 1,), jnp.float32)
+        )[:2],
+    )
+    if chain_quant == "calibrate":
+        if not mod.is_initializing():
+            scales = cc8.calibrate_conv_chain(x, params)
+            qvar.value = cc8.quantize_conv_chain(params, scales)[:2]
+        return ops.conv_chain_apply(x, entries, use_pallas=use_pallas)
+    out_cout = entries[-1][0].shape[-1]
+    dt = x[0].dtype if isinstance(x, (list, tuple)) else x.dtype
+    qlayers, s_in = qvar.value
+    return cc8.conv_chain_int8_apply(
+        x, (qlayers, s_in, acts), out_cout, out_dtype=dt
+    )
+
+
+class QuantizableConv(nn.Module):
+    """One fused 3×3 conv (+activation) with optional int8 serving.
+
+    Parameter tree is IDENTICAL to :class:`ConvParams` at the same name
+    (``kernel``/``bias`` on this module's scope), so checkpoints trained
+    against the plain formulation load unchanged; ``chain_quant`` adds the
+    ``"quant"`` collection entry ``qconv`` (see
+    :func:`maybe_quantized_chain`).
+    """
+
+    features: int
+    in_features: int
+    act: str = "none"
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+    chain_quant: str = "off"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.param(
+            "kernel", self.kernel_init,
+            (3, 3, self.in_features, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return maybe_quantized_chain(
+            self, "qconv", x.astype(self.dtype), [(k, b, self.act)],
+            self.chain_quant,
+        )
+
+
 class _KernelParams(nn.Module):
     """Bias-free ``nn.Conv``-compatible kernel declaration (returns it)."""
 
@@ -196,13 +282,17 @@ class PixelShuffleUpsampler(nn.Module):
     zero_init: bool = False
     shuffle: bool = True  # False → return pre-shuffle (B,H,W,C·s²) phase channels
     dtype: Dtype = jnp.float32
+    chain_quant: str = "off"  # int8 serving (see maybe_quantized_chain)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = self.out_channels * self.scale_factor**2
         init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
         k, b = ConvParams(hidden, (3, 3), x.shape[-1], kernel_init=init, name="conv")()
-        x = ops.conv_chain_apply(x.astype(self.dtype), [(k, b, "none")])
+        x = maybe_quantized_chain(
+            self, "qconv", x.astype(self.dtype), [(k, b, "none")],
+            self.chain_quant,
+        )
         if not self.shuffle:
             return x
         return ops.pixel_shuffle(x, self.scale_factor)

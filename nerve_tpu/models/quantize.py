@@ -82,11 +82,28 @@ def calibrate_sr_scales(model, variables, frames) -> jnp.ndarray:
 
 def quantize_sr_variables(model, variables, frames) -> Dict[str, Any]:
     """f32 variables + calibration frames → variables with the quant
-    collection (pre-quantised int8 chain). See module docstring."""
-    agg, params_list = _capture_sr_agg(model, variables, frames)
-    _, qchain = _calibrate_and_quantize(agg, params_list)
+    collection (pre-quantised int8 chains). See module docstring.
+
+    Every quantised site (the RDB stack with ``quantized=True``, and with
+    ``quantized_chains=True`` also the feature head, flow head, attention
+    logits, global fusion and upsampler convs) calibrates IN-GRAPH during
+    one forward of a ``quant_calibrate=True`` clone: each site derives its
+    max-abs activation scales from its true input distribution, stores the
+    pre-quantised chain into the mutable "quant" collection, and passes the
+    EXACT f32/bf16 result downstream. One jitted program — eagerly this is
+    hundreds of tiny dispatches, painful on tunneled TPU setups.
+    """
+    cal_model = model.clone(quant_calibrate=True)
+    cal_vars = {k: v for k, v in variables.items() if k != "quant"}
+
+    @jax.jit
+    def _run(v, f):
+        _, mut = cal_model.apply(v, f, mutable=["quant"])
+        return dict(mut).get("quant", {})
+
+    quant = _run(cal_vars, jnp.asarray(frames))
     out = {k: v for k, v in variables.items() if k != "quant"}
-    out["quant"] = {"rdbs": {"qchain": qchain}}
+    out["quant"] = quant
     return out
 
 
@@ -101,22 +118,16 @@ def quantize_engine_variables(engine, variables, frames,
     """
     import dataclasses
 
-    cal_cfg = dataclasses.replace(engine.config, sr_quantized=False)
+    cal_cfg = dataclasses.replace(engine.config, sr_quant_calibrate=True)
     cal_engine = engine.clone(config=cal_cfg)
     cal_vars = {k: v for k, v in variables.items() if k != "quant"}
-    _, inter = cal_engine.apply(
-        cal_vars, jnp.asarray(frames), None, corruption_mask,
-        capture_intermediates=lambda mdl, _: mdl.name == "temporal_aggregator",
-        mutable=["intermediates"],
-    )
-    agg = inter["intermediates"]["super_resolution"]["temporal_aggregator"][
-        "__call__"
-    ][0]
-    params_list = rdb_params_from_tree(
-        variables["params"]["super_resolution"]["rdbs"],
-        engine.config.sr_num_residual_blocks,
-    )
-    _, qchain = _calibrate_and_quantize(agg.astype(jnp.float32), params_list)
+
+    @jax.jit
+    def _run(v, f, m):
+        _, mut = cal_engine.apply(v, f, None, m, mutable=["quant"])
+        return dict(mut).get("quant", {})
+
+    quant = _run(cal_vars, jnp.asarray(frames), corruption_mask)
     out = {k: v for k, v in variables.items() if k != "quant"}
-    out["quant"] = {"super_resolution": {"rdbs": {"qchain": qchain}}}
+    out["quant"] = quant
     return out

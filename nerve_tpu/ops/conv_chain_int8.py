@@ -83,7 +83,9 @@ def calibrate_conv_chain(x, params) -> jnp.ndarray:
     for i in range(len(ws)):
         x = _chain_xla(x, ws[i : i + 1], bs[i : i + 1], acts[i : i + 1])
         maxes.append(jnp.max(jnp.abs(x)))
-    return jnp.stack(maxes) / 127.0
+    # Clamp: an all-zero activation (e.g. a zero-initialised layer before
+    # training) must not produce a 0 scale → inf requant → NaN epilogues.
+    return jnp.maximum(jnp.stack(maxes), 1e-12) / 127.0
 
 
 def quantize_conv_chain(params, scales: jnp.ndarray):

@@ -144,6 +144,19 @@ def main(argv=None):
         results["psnr_int8"] - results["psnr_coarse_flow"]
     )
 
+    # Full-chain int8 (RDB + head/flow/attention/gff/upsampler — the
+    # quantized_chains serving path, VERDICT r3 item #2): the dB cost of
+    # quantising EVERY fused conv-chain site.
+    qfmodel = model.clone(
+        flow_downsample=2, quantized=True, quantized_chains=True
+    )
+    variables_qf = quantize_sr_variables(qfmodel, variables, lr_win[:8])
+    pred_qf = jax.jit(lambda x: qfmodel.apply(variables_qf, x))(lr_win)
+    results["psnr_int8full"] = float(psnr(pred_qf, hr_t))
+    results["psnr_delta_int8full_vs_coarse"] = (
+        results["psnr_int8full"] - results["psnr_coarse_flow"]
+    )
+
     print(json.dumps(
         {k: round(v, 4) if isinstance(v, float) else v for k, v in results.items()}
     ))

@@ -24,6 +24,7 @@ run 1500 python -u scripts/diag_lightweight2.py
 # 3. Every BASELINE config on current defaults (DX_MAJOR RDB, planar corr).
 run 1500 python -u bench_suite.py sr_full
 run 1500 python -u bench_suite.py sr_full_int8
+run 1500 python -u bench_suite.py sr_full_int8full
 run 900 python -u bench_suite.py engine
 run 900 python -u bench_suite.py train
 run 1200 python -u bench_suite.py continual federated abr
