@@ -16,10 +16,12 @@ run() {
   echo "--- exit ${PIPESTATUS[0]} ---" | tee -a "$LOG"
 }
 
-# 1. Kernel gate (Mosaic lowering/parity on the real chip).
-run 1500 python -u scripts/tpu_gate.py
-# 2. Headline, then the round-4 headroom A/Bs (layouts, batching, stages).
+# 1. Headline FIRST (its preamble runs the QUICK gate; a flapping tunnel
+#    should cost us the least-valuable items, not the headline).
 run 900 python -u bench.py
+# 2. Full kernel gate (Mosaic lowering/parity on the real chip).
+run 1500 python -u scripts/tpu_gate.py
+# 3. Round-4 headroom A/Bs (layouts, batching, stages).
 run 1500 python -u scripts/diag_lightweight2.py
 # 3. Every BASELINE config on current defaults (DX_MAJOR RDB, planar corr).
 run 1500 python -u bench_suite.py sr_full
@@ -39,4 +41,7 @@ run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16
 run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16 --dx-major
 run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16 --per-channel
 run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16 --per-channel --dx-major
+if [ -f /tmp/cpu_heavy.pid ] && kill -0 "$(cat /tmp/cpu_heavy.pid)" 2>/dev/null; then
+  kill -CONT "$(cat /tmp/cpu_heavy.pid)"
+fi
 echo "DONE $LOG"

@@ -1,7 +1,13 @@
 #!/bin/bash
-# Poll the axon tunnel until a REAL dispatch completes, then run the given
+# Poll the axon tunnel until REAL dispatches complete, then run the given
 # batch script. Wedge mode 2 (init OK, dispatch hangs) burns batch timeouts
 # measuring nothing — don't start the batch until the chip answers.
+#
+# The tunnel FLAPS (observed r4: probe green at 00:01, gate wedged by 00:02),
+# so one cheap matmul is not evidence of health. The probe now requires, in
+# one process: an XLA matmul, a Mosaic-compiled Pallas kernel dispatch, and
+# a second matmul after a 20 s sleep — and TWO consecutive probe passes
+# 30 s apart before launching.
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
@@ -9,16 +15,45 @@ BATCH=${1:-scripts/tpu_batch_r4.sh}
 LOG=${2:-/tmp/tpu_batch_r4.log}
 PROBE_EVERY=${PROBE_EVERY:-300}
 
-while true; do
-  if timeout 120 python -c "
+probe() {
+  timeout 240 python -c "
+import time
 import jax, jax.numpy as jnp
 assert jax.default_backend() == 'tpu'
 x = jnp.ones((256, 256))
-print(float((x @ x).sum()))
-" >/dev/null 2>&1; then
-    echo "$(date -u +%H:%M:%S) tunnel healthy; launching $BATCH"
-    exec bash "$BATCH" "$LOG"
+assert float((x @ x).sum()) == 256.0 ** 3
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+def k(a, o):
+    o[...] = a[...] * 2.0
+y = pl.pallas_call(
+    k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+)(jnp.ones((8, 128), jnp.float32))
+assert float(y.sum()) == 2.0 * 8 * 128
+time.sleep(20)
+z = jnp.ones((512, 512))
+assert float((z @ z).sum()) == 512.0 ** 3
+print('probe ok')
+" >/dev/null 2>&1
+}
+
+while true; do
+  if probe; then
+    echo "$(date -u +%H:%M:%S) probe 1/2 ok; confirming in 30s"
+    sleep 30
+    if probe; then
+      echo "$(date -u +%H:%M:%S) tunnel healthy (2/2); launching $BATCH"
+      # Pause any registered CPU-heavy job for the batch's host-side
+      # compiles (1-CPU host); the batch resumes it when done.
+      if [ -f /tmp/cpu_heavy.pid ] && kill -0 "$(cat /tmp/cpu_heavy.pid)" 2>/dev/null; then
+        kill -STOP "$(cat /tmp/cpu_heavy.pid)"
+      fi
+      exec bash "$BATCH" "$LOG"
+    fi
+    echo "$(date -u +%H:%M:%S) probe 2/2 FAILED (flapping tunnel)"
+  else
+    echo "$(date -u +%H:%M:%S) tunnel wedged (dispatch probe failed)"
   fi
-  echo "$(date -u +%H:%M:%S) tunnel wedged (dispatch probe failed); retry in ${PROBE_EVERY}s"
+  echo "$(date -u +%H:%M:%S) retry in ${PROBE_EVERY}s"
   sleep "$PROBE_EVERY"
 done
