@@ -1,46 +1,87 @@
 #!/bin/bash
 # Round-4 measurement batch (VERDICT r3 item #1: measure FIRST, not last).
 # Records every BASELINE config on current defaults + the int8 quality cost.
-# Serialise everything: the 1-CPU host cannot overlap TPU compiles.
+#
+# The axon tunnel FLAPS (r4: healthy at 00:41, wedged by 00:42), so the
+# batch is a PROBE-GATED QUEUE: before every item, a 90 s dispatch probe
+# (matmul + Pallas kernel) must pass; wedged → sleep and retry the probe,
+# never burn a 25-min item timeout measuring nothing. An item that exits
+# 124 (its own timeout — likely a mid-item wedge) is retried once at the
+# end of the queue. Serialise everything: 1-CPU host.
 set -u
 cd "$(dirname "$0")/.."
-# APPEND to PYTHONPATH (the axon plugin lives at /root/.axon_site).
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 LOG=${1:-/tmp/tpu_batch_r4.log}
 : > "$LOG"
+DEADLINE=$(( $(date +%s) + ${BATCH_BUDGET_S:-18000} ))  # default 5 h
 
-run() {
-  local t="$1"; shift
-  echo "=== $* ===" | tee -a "$LOG"
-  timeout "$t" "$@" 2>&1 | tee -a "$LOG"
-  echo "--- exit ${PIPESTATUS[0]} ---" | tee -a "$LOG"
+probe() {
+  timeout 90 python -c "
+import jax, jax.numpy as jnp
+assert jax.default_backend() == 'tpu'
+x = jnp.ones((256, 256))
+assert float((x @ x).sum()) == 256.0 ** 3
+from jax.experimental import pallas as pl
+def k(a, o):
+    o[...] = a[...] * 2.0
+y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(
+    jnp.ones((8, 128), jnp.float32))
+assert float(y.sum()) == 2048.0
+" >/dev/null 2>&1
 }
 
-# 1. Headline FIRST (its preamble runs the QUICK gate; a flapping tunnel
-#    should cost us the least-valuable items, not the headline).
-run 900 python -u bench.py
-# 2. Full kernel gate (Mosaic lowering/parity on the real chip).
-run 1500 python -u scripts/tpu_gate.py
-# 3. Round-4 headroom A/Bs (layouts, batching, stages).
-run 1500 python -u scripts/diag_lightweight2.py
-# 3. Every BASELINE config on current defaults (DX_MAJOR RDB, planar corr).
-run 1500 python -u bench_suite.py sr_full
-run 1500 python -u bench_suite.py sr_full_int8
-run 1500 python -u bench_suite.py sr_full_int8full
-run 900 python -u bench_suite.py engine
-run 900 python -u bench_suite.py train
-run 1200 python -u bench_suite.py continual federated abr
-# 4. int8 + coarse-flow quality cost in dB on the full model
-#    (psnr_int8 / psnr_delta_int8_vs_coarse — coded in r2, never recorded).
-run 2400 python -u scripts/eval_parity.py --epochs 40
-# 5. Round-4 int8 extensions: conv-chain sites bf16 vs int8 at serving
-#    shapes, and the dx-major schedule on the int8 RDB kernel (the bf16
-#    kernel's −12 % win, never yet timed on the int8 variant).
-run 1800 python -u scripts/diag_chain_int8.py
-run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16
-run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16 --dx-major
-run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16 --per-channel
-run 1200 python -u scripts/diag_rdb_int8.py --skip-bf16 --per-channel --dx-major
+# "timeout_s<TAB>command" — headline first, cheapest-to-recompile early.
+ITEMS=(
+  $'900\tpython -u bench.py'
+  $'1500\tpython -u scripts/tpu_gate.py'
+  $'1500\tpython -u scripts/diag_lightweight2.py'
+  $'1500\tpython -u bench_suite.py sr_full'
+  $'1500\tpython -u bench_suite.py sr_full_int8'
+  $'1500\tpython -u bench_suite.py sr_full_int8full'
+  $'900\tpython -u bench_suite.py engine'
+  $'900\tpython -u bench_suite.py train'
+  $'1200\tpython -u bench_suite.py continual federated abr'
+  $'2400\tpython -u scripts/eval_parity.py --epochs 40'
+  $'1800\tpython -u scripts/diag_chain_int8.py'
+  $'1200\tpython -u scripts/diag_rdb_int8.py --skip-bf16'
+  $'1200\tpython -u scripts/diag_rdb_int8.py --skip-bf16 --dx-major'
+  $'1200\tpython -u scripts/diag_rdb_int8.py --skip-bf16 --per-channel'
+  $'1200\tpython -u scripts/diag_rdb_int8.py --skip-bf16 --per-channel --dx-major'
+)
+
+queue=("${ITEMS[@]}")
+retried=""
+while [ ${#queue[@]} -gt 0 ]; do
+  if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "BATCH DEADLINE reached; ${#queue[@]} items unrun" | tee -a "$LOG"
+    break
+  fi
+  item="${queue[0]}"; queue=("${queue[@]:1}")
+  t="${item%%$'\t'*}"; cmd="${item#*$'\t'}"
+  until probe; do
+    echo "$(date -u +%H:%M:%S) tunnel wedged; holding '$cmd' (retry 240s)" | tee -a "$LOG"
+    if [ "$(date +%s)" -ge "$DEADLINE" ]; then break 2; fi
+    sleep 240
+  done
+  # Pause any registered CPU-heavy job while an item compiles/runs
+  # (1-CPU host); resume it while we hold for a wedged tunnel.
+  if [ -f /tmp/cpu_heavy.pid ] && kill -0 "$(cat /tmp/cpu_heavy.pid)" 2>/dev/null; then
+    kill -STOP "$(cat /tmp/cpu_heavy.pid)" 2>/dev/null
+  fi
+  echo "=== $(date -u +%H:%M:%S) $cmd ===" | tee -a "$LOG"
+  timeout "$t" $cmd 2>&1 | tee -a "$LOG"
+  rc=${PIPESTATUS[0]}
+  echo "--- exit $rc ---" | tee -a "$LOG"
+  if [ -f /tmp/cpu_heavy.pid ] && kill -0 "$(cat /tmp/cpu_heavy.pid)" 2>/dev/null; then
+    kill -CONT "$(cat /tmp/cpu_heavy.pid)" 2>/dev/null
+  fi
+  if [ "$rc" -eq 124 ] && [[ "$retried" != *"|$cmd|"* ]]; then
+    retried="$retried|$cmd|"
+    queue+=("$item")
+    echo "(requeued after timeout: $cmd)" | tee -a "$LOG"
+  fi
+done
+
 if [ -f /tmp/cpu_heavy.pid ] && kill -0 "$(cat /tmp/cpu_heavy.pid)" 2>/dev/null; then
   kill -CONT "$(cat /tmp/cpu_heavy.pid)"
 fi
