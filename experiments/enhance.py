@@ -165,6 +165,10 @@ def main(argv=None) -> int:
                    help="orbax directory from nerve-train (SR params)")
     p.add_argument("--float", action="store_true",
                    help="write float32 output instead of uint8")
+    p.add_argument("--int8", default="off", choices=["off", "rdb", "full"],
+                   help="int8 SR serving: 'rdb' quantises the RDB chain, "
+                        "'full' every fused conv-chain site; activation "
+                        "scales calibrate on the input video's first window")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -193,6 +197,13 @@ def main(argv=None) -> int:
         tgt = params["engine"] if "engine" in params else params
         tgt["enhancement_strength"] = jnp.asarray([args.strength], jnp.float32)
 
+    if args.int8 != "off":
+        if args.mode not in ("full", "sr_only"):
+            print(f"# --int8 ignored: mode {args.mode!r} has no full SR net",
+                  file=sys.stderr)
+        else:
+            engine.quantize_int8(video, chains=args.int8 == "full")
+
     import jax
 
     t0 = time.perf_counter()
@@ -209,6 +220,7 @@ def main(argv=None) -> int:
         "output_shape": list(out.shape),
         "output_dtype": str(out.dtype),
         "mode": args.mode,
+        "int8": args.int8,
         "seconds": round(wall, 3),
         "fps_including_compile": round(t / wall, 2),
         "output": args.output,

@@ -336,6 +336,46 @@ class EnhancementEngine:
         self.config = self.config.with_mode(mode)
         self._build()
 
+    def quantize_int8(self, calib_video: Array, chains: bool = True) -> None:
+        """Switch the engine to int8 SR serving (the v5e 394-TOPS path).
+
+        ``calib_video``: (T, C, H, W) or (B, T, C, H, W) representative
+        frames; static per-tensor max-abs activation scales are calibrated
+        through the WHOLE pipeline on them (models.quantize). ``chains``
+        also quantises the conv-chain sites outside the RDB stack
+        (head/flow/attention/gff/upsampler — quantized_chains).
+
+        No reference analogue (nerve_cl serves f32 torch end to end).
+        """
+        import dataclasses
+
+        from nerve_tpu.models import quantize as _quantize
+
+        if not self.config.super_resolution_enabled or self.config.use_lightweight_sr:
+            raise ValueError(
+                "int8 serving quantises the full SuperResolutionNet; enable "
+                "super-resolution (mode 'full'/'sr_only') first"
+            )
+        self.config = dataclasses.replace(
+            self.config, sr_quantized=True, sr_quantized_chains=chains
+        )
+        trained = self.variables
+        self._build()  # re-jit the int8 graph; matching params re-merged
+        v = jnp.asarray(calib_video)
+        if v.ndim == 4:
+            v = v[None]
+        t = 2 * max(self.config.recovery_temporal_window,
+                    self.config.sr_temporal_window) + 1
+        x = _frames_nhwc(v[:, :t])
+        mask = (
+            jnp.zeros(x.shape[:1] + x.shape[2:4] + (1,), x.dtype)
+            if self.config.frame_recovery_enabled else None
+        )
+        cal_vars = {k: val for k, val in trained.items() if k != "quant"}
+        self.variables = _quantize.quantize_engine_variables(
+            self.module, cal_vars, x, mask
+        )
+
 
 class AdaptiveEnhancementEngine(EnhancementEngine):
     """Channel-first facade over the adaptive engine.

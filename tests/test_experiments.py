@@ -178,6 +178,24 @@ class TestEnhance:
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["mode"] == "lightweight"  # budget < 0.3 threshold
 
+    def test_int8_full_serving(self, tmp_path, capsys):
+        """--int8 full: the engine calibrates on the input's first window
+        and serves the fully-quantised SR net (RDB + all conv-chain sites)."""
+        from experiments import enhance
+
+        inp, outp = tmp_path / "v.npy", tmp_path / "out.npy"
+        self._write_video(inp)
+        rc = enhance.main([
+            str(inp), "-o", str(outp), "--mode", "sr_only",
+            "--sr-features", "8", "--sr-blocks", "1", "--int8", "full",
+        ])
+        assert rc == 0
+        out = np.load(outp)
+        assert out.shape == (4, 3, 32, 32) and out.dtype == np.uint8
+        import json
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["int8"] == "full"
+
     def test_train_then_serve(self, tmp_path):
         """The full user workflow: nerve-train writes an orbax checkpoint,
         nerve-enhance grafts its SR params and serves."""
