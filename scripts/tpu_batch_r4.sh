@@ -16,7 +16,9 @@ LOG=${1:-/tmp/tpu_batch_r4.log}
 DEADLINE=$(( $(date +%s) + ${BATCH_BUDGET_S:-18000} ))  # default 5 h
 
 probe() {
-  timeout 90 python -c "
+  # 150 s: a healthy probe costs 60-90 s of first-compile over the tunnel
+  # on this loaded 1-CPU host; 90 s misclassified healthy as wedged.
+  timeout 150 python -c "
 import jax, jax.numpy as jnp
 assert jax.default_backend() == 'tpu'
 x = jnp.ones((256, 256))
