@@ -122,9 +122,16 @@ def quantize_engine_variables(engine, variables, frames,
     cal_engine = engine.clone(config=cal_cfg)
     cal_vars = {k: v for k, v in variables.items() if k != "quant"}
 
+    adaptive = hasattr(cal_engine, "estimate_complexity")
+
     @jax.jit
     def _run(v, f, m):
-        _, mut = cal_engine.apply(v, f, None, m, mutable=["quant"])
+        if adaptive:
+            # AdaptiveEnhancementEngine(frames, budget, pref, train) — no
+            # mask arg; the inner engine runs mask-free at default budget.
+            _, mut = cal_engine.apply(v, f, mutable=["quant"])
+        else:
+            _, mut = cal_engine.apply(v, f, None, m, mutable=["quant"])
         return dict(mut).get("quant", {})
 
     quant = _run(cal_vars, jnp.asarray(frames), corruption_mask)

@@ -96,6 +96,26 @@ class TestEnhancementEngineAPI:
         assert out2["enhanced"].shape == (1, 3, 64, 64)
         assert eng.estimate_complexity(frames[:, 2]).shape == (1, 1)
 
+    def test_quantize_int8_facade(self, rng):
+        """quantize_int8 switches a facade engine to int8 SR serving and the
+        video path still runs (plain + adaptive)."""
+        from nerve_tpu.models import api
+
+        video = rng.random((4, 3, 16, 16)).astype(np.float32)
+        for adaptive in (False, True):
+            cfg = api.EnhancementConfig(
+                frame_recovery_enabled=False, sr_num_features=8,
+                sr_num_residual_blocks=1, sr_temporal_window=1,
+            ).with_mode("sr_only")
+            eng = (api.AdaptiveEnhancementEngine if adaptive
+                   else api.EnhancementEngine)(cfg)
+            eng.quantize_int8(video, chains=True)
+            assert eng.config.sr_quantized and eng.config.sr_quantized_chains
+            assert "quant" in eng.variables
+            out = np.asarray(eng.enhance_video(video))
+            assert out.shape == (4, 3, 32, 32)
+            assert np.isfinite(out).all()
+
     def test_mode_switch_reuses_params(self, engine, rng):
         before = np.asarray(
             engine.variables["params"]["super_resolution"]["gff"]["kernel"]
