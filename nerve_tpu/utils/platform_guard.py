@@ -50,16 +50,33 @@ def guard_against_wedged_tunnel(timeout_s: float = 240.0) -> bool:
         "x = jnp.ones((128, 128));"
         "print(float((x @ x).sum()), jax.default_backend())"
     )
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c", probe_src],
-            capture_output=True, timeout=timeout_s, text=True,
-        )
-        if probe.returncode == 0:
-            return True  # backend executes; use whatever jax picks.
-        reason = f"probe rc={probe.returncode}: {probe.stderr.strip()[-200:]}"
-    except subprocess.TimeoutExpired:
-        reason = f"backend init/exec hung >{timeout_s:.0f}s (wedged tunnel)"
+    # Two attempts with a settle pause: a client that connects within
+    # seconds of another client's teardown can hang even on a healthy
+    # tunnel (observed r4 — probe green, next process wedged <1 s later),
+    # so one hung probe is not yet proof of a wedged tunnel.
+    reason = ""
+    for attempt in range(2):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                capture_output=True, timeout=timeout_s, text=True,
+            )
+            if probe.returncode == 0:
+                # Settle before the CALLER connects: it would otherwise
+                # land in the probe subprocess's teardown window.
+                import time
+
+                time.sleep(30.0)
+                return True  # backend executes; use whatever jax picks.
+            reason = f"probe rc={probe.returncode}: {probe.stderr.strip()[-200:]}"
+        except subprocess.TimeoutExpired:
+            reason = f"backend init/exec hung >{timeout_s:.0f}s (wedged tunnel)"
+        if attempt == 0:
+            import time
+
+            print(f"# TPU probe attempt 1 failed ({reason}); settling 75 s "
+                  "and retrying once", file=sys.stderr, flush=True)
+            time.sleep(75.0)
     print(f"# TPU backend unavailable ({reason}); pinning CPU",
           file=sys.stderr, flush=True)
     jax.config.update("jax_platforms", "cpu")

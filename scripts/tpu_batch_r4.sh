@@ -61,10 +61,15 @@ while [ ${#queue[@]} -gt 0 ]; do
   item="${queue[0]}"; queue=("${queue[@]:1}")
   t="${item%%$'\t'*}"; cmd="${item#*$'\t'}"
   until probe; do
-    echo "$(date -u +%H:%M:%S) tunnel wedged; holding '$cmd' (retry 240s)" | tee -a "$LOG"
+    # 420 s: a KILLED probe client seems to wedge the tunnel server for
+    # minutes — re-probing too often re-poisons it (observed r4).
+    echo "$(date -u +%H:%M:%S) tunnel wedged; holding '$cmd' (retry 420s)" | tee -a "$LOG"
     if [ "$(date +%s)" -ge "$DEADLINE" ]; then break 2; fi
-    sleep 240
+    sleep 420
   done
+  # Settle: a client connecting within seconds of the previous client's
+  # teardown hangs (observed twice: probe green, item wedged <1 s later).
+  sleep 45
   # Pause any registered CPU-heavy job while an item compiles/runs
   # (1-CPU host); resume it while we hold for a wedged tunnel.
   if [ -f /tmp/cpu_heavy.pid ] && kill -0 "$(cat /tmp/cpu_heavy.pid)" 2>/dev/null; then
