@@ -105,11 +105,19 @@ def main(argv=None):
         lr_t = jnp.asarray(test["lr"])
         lr_win = data_lib.expand_temporal(lr_t, 3)
 
-    @jax.jit
-    def forward(params, stats, x):
-        return model.apply({"params": params, "batch_stats": stats}, x)
+    def chunked(fn, x, bs: int = 20):
+        """Eval forwards in fixed-size chunks: one whole-eval-set (B=100)
+        program hung the tunnel's AOT compiler twice in round 4; the
+        chunked program is ~5× smaller and each dispatch keeps session
+        traffic flowing."""
+        outs = []
+        for i in range(0, x.shape[0], bs):
+            outs.append(fn(x[i : i + bs]))
+            print(f"# eval chunk {i + bs}/{x.shape[0]}", flush=True)
+        return jnp.concatenate(outs, axis=0)
 
-    pred = forward(state.params, state.batch_stats, lr_win)
+    variables0 = {"params": state.params, "batch_stats": state.batch_stats}
+    pred = chunked(jax.jit(lambda x: model.apply(variables0, x)), lr_win)
     bicubic = jnp.clip(ops.upsample_bicubic(lr_t, 2), 0, 1)
 
     results = {
@@ -130,7 +138,7 @@ def main(argv=None):
     # chain (the 394-TOPS path).
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     coarse = model.clone(flow_downsample=2)
-    pred_coarse = jax.jit(lambda x: coarse.apply(variables, x))(lr_win)
+    pred_coarse = chunked(jax.jit(lambda x: coarse.apply(variables, x)), lr_win)
     results["psnr_coarse_flow"] = float(psnr(pred_coarse, hr_t))
     results["psnr_delta_coarse_flow"] = results["psnr_coarse_flow"] - results["psnr"]
 
@@ -138,7 +146,7 @@ def main(argv=None):
 
     qmodel = model.clone(flow_downsample=2, quantized=True)
     variables_q = quantize_sr_variables(qmodel, variables, lr_win[:8])
-    pred_q = jax.jit(lambda x: qmodel.apply(variables_q, x))(lr_win)
+    pred_q = chunked(jax.jit(lambda x: qmodel.apply(variables_q, x)), lr_win)
     results["psnr_int8"] = float(psnr(pred_q, hr_t))
     results["psnr_delta_int8_vs_coarse"] = (
         results["psnr_int8"] - results["psnr_coarse_flow"]
@@ -151,7 +159,7 @@ def main(argv=None):
         flow_downsample=2, quantized=True, quantized_chains=True
     )
     variables_qf = quantize_sr_variables(qfmodel, variables, lr_win[:8])
-    pred_qf = jax.jit(lambda x: qfmodel.apply(variables_qf, x))(lr_win)
+    pred_qf = chunked(jax.jit(lambda x: qfmodel.apply(variables_qf, x)), lr_win)
     results["psnr_int8full"] = float(psnr(pred_qf, hr_t))
     results["psnr_delta_int8full_vs_coarse"] = (
         results["psnr_int8full"] - results["psnr_coarse_flow"]
