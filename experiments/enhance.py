@@ -201,6 +201,10 @@ def main(argv=None) -> int:
         if args.mode not in ("full", "sr_only"):
             print(f"# --int8 ignored: mode {args.mode!r} has no full SR net",
                   file=sys.stderr)
+            # Serving stayed f32 — record that in the JSON summary too, so
+            # downstream parsers never misread the served precision
+            # (round-4 advisor finding).
+            args.int8 = "off"
         else:
             engine.quantize_int8(video, chains=args.int8 == "full")
 

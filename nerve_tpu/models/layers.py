@@ -125,15 +125,18 @@ class QuantizableConv(nn.Module):
     chain_quant: str = "off"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k = self.param(
             "kernel", self.kernel_init,
             (3, 3, self.in_features, self.features), jnp.float32,
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        # train forces the exact path: int8 static scales are serving-only
+        # (stale under weight updates and non-differentiable) — round-4
+        # advisor finding, now gated consistently at every chain site.
         return maybe_quantized_chain(
             self, "qconv", x.astype(self.dtype), [(k, b, self.act)],
-            self.chain_quant,
+            "off" if train else self.chain_quant,
         )
 
 
@@ -285,13 +288,13 @@ class PixelShuffleUpsampler(nn.Module):
     chain_quant: str = "off"  # int8 serving (see maybe_quantized_chain)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = self.out_channels * self.scale_factor**2
         init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
         k, b = ConvParams(hidden, (3, 3), x.shape[-1], kernel_init=init, name="conv")()
         x = maybe_quantized_chain(
             self, "qconv", x.astype(self.dtype), [(k, b, "none")],
-            self.chain_quant,
+            "off" if train else self.chain_quant,
         )
         if not self.shuffle:
             return x

@@ -95,7 +95,9 @@ class MotionEstimator(nn.Module):
     chain_quant: str = "off"  # int8 flow head (see layers.maybe_quantized_chain)
 
     @nn.compact
-    def __call__(self, feat1: jnp.ndarray, feat2: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, feat1: jnp.ndarray, feat2: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
         ds = self.downsample
         b, h, w, c = feat1.shape
         if ds > 1:
@@ -118,7 +120,7 @@ class MotionEstimator(nn.Module):
         flow = maybe_quantized_chain(
             self, "qflow", corr,
             [(k0, b0, "relu"), (k1, b1, "relu"), (k2, b2, "relu"), (k3, b3, "none")],
-            self.chain_quant,
+            "off" if train else self.chain_quant,
         )
         if ds > 1:
             flow = ops.resize_bilinear(flow, (h, w)) * float(ds)
@@ -380,9 +382,11 @@ class SuperResolutionNet(nn.Module):
         """(N, H, W, C) frames → (N, H, W, F) features (one batched dispatch)."""
         return self.feature_extractor(frames.astype(self.dtype), train)
 
-    def align_to_center(self, nb: jnp.ndarray, ctr: jnp.ndarray) -> jnp.ndarray:
+    def align_to_center(
+        self, nb: jnp.ndarray, ctr: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
         """Flow-estimate + warp neighbour features onto center features."""
-        flow = self.motion_estimator(nb, ctr)
+        flow = self.motion_estimator(nb, ctr, train)
         return ops.flow_warp(nb, flow)
 
     def fuse_from_features(
@@ -411,13 +415,13 @@ class SuperResolutionNet(nn.Module):
         """
         aggregated = self.temporal_aggregator(aligned, train)
         residual = self.rdbs(aggregated)
-        fused = self.gff(residual) + center_feat
+        fused = self.gff(residual, train) + center_feat
 
         # Epilogue in pre-shuffle phase-channel space: the bicubic base is
         # computed as s² phase channels (static shifted adds, no gathers) and
         # added to the upsampler conv's raw output, so the whole residual
         # epilogue performs exactly ONE depth-to-space interleave.
-        hr_residual_ch = self.upsampler(fused)
+        hr_residual_ch = self.upsampler(fused, train)
         bicubic_ch = ops.upsample_bicubic_channels(
             center_lr.astype(self.dtype), self.scale_factor
         )
@@ -494,7 +498,7 @@ class SuperResolutionNet(nn.Module):
             )
             nb = jnp.take(feats_flat, nb_rows, axis=0)
             ctr = jnp.repeat(center_feat, n, axis=0)
-            warped_flat = self.align_to_center(nb, ctr)  # (b·n, h, w, f)
+            warped_flat = self.align_to_center(nb, ctr, train)  # (b·n, h, w, f)
             aligned = []
             for j in range(t):
                 if j == center:

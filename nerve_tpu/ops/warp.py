@@ -37,6 +37,9 @@ Negative results (measured at 1080p×64ch bf16, v5e — do not retry blindly):
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -67,6 +70,15 @@ def flow_warp(
         (B, H, W, C): features sampled at (x + dx, y + dy), bilinear,
         zeros outside the image.
     """
+    return _flow_warp_diff(chunk_rows, packed_gather, features, flow)
+
+
+def _flow_warp_impl(
+    features: jnp.ndarray,
+    flow: jnp.ndarray,
+    chunk_rows: int,
+    packed_gather: bool,
+) -> jnp.ndarray:
     b, h, w, c = features.shape
     if chunk_rows and h > chunk_rows:
         nchunks = -(-h // chunk_rows)
@@ -146,12 +158,8 @@ def _warp_rows(
         )
     patches = patches.reshape(b, hout, w, ph, pw, c)
 
-    def tent(coord, start, size):
-        pos = start[..., None].astype(coord_dtype) + jnp.arange(size, dtype=coord_dtype)
-        return jnp.maximum(0.0, 1.0 - jnp.abs(coord[..., None] - pos))
-
-    wy = tent(y, ys, ph)  # (B, Hout, W, ph)
-    wx = tent(x, xs, pw)  # (B, Hout, W, pw)
+    wy = _tent(y, ys, ph)  # (B, Hout, W, ph)
+    wx = _tent(x, xs, pw)  # (B, Hout, W, pw)
     # Keep everything in the feature dtype: a widened accumulation type makes
     # XLA materialise an f32 copy of the 4x-sized patch tensor (measured
     # ~22 ms at 1080p), and a 4-term bf16 sum of [0,1]-weighted taps loses
@@ -166,3 +174,144 @@ def _warp_rows(
         else jnp.einsum("bhwyx,bhwyxc->bhwc", weights, patches)
     )
     return out.astype(features.dtype)
+
+
+def _tent(coord, start, size):
+    """Bilinear tent weights over ``size`` integer taps from ``start``."""
+    pos = start[..., None].astype(coord.dtype) + jnp.arange(size, dtype=coord.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coord[..., None] - pos))
+
+
+# --------------------------------------------------------------------------- #
+# Custom VJP.
+#
+# The forward's gather transposes (under plain autodiff) to lax.scatter-add,
+# which SERIALISES on TPU: measured 617 ms for a (32, 64, 64, 32) batch —
+# ~140× the 4.4 ms forward, and single-handedly 97 % of the round-4 SR train
+# step (profile_train.py, 2026-08-21). The custom backward removes every
+# scatter:
+#
+#   * d/d flow — plain autodiff of the forward with the features held
+#     constant: the only differentiable path is through the tent weights
+#     (patch values are constant w.r.t. flow; integer indices have no
+#     gradient), so no gather transpose appears. Measured 3.4 ms.
+#   * d/d features — the exact scatter expressed as ONE-HOT MXU MATMULS.
+#     The cotangent of source pixel (h', w') is
+#       Σ_p Σ_{py,px} wy[p,py]·wx[p,px]·g[p,c]·δ(ys[p]+py=h')·δ(xs[p]+px=w')
+#     which factorises per output pixel p into row/column one-hot vectors
+#       Y[p, h'] = Σ_py wy δ(ys+py = h')       (2 nonzeros per row)
+#       X[p, w'] = Σ_px wx δ(xs+px = w')
+#     giving  grad[h', w', c] = Σ_p Y[p,h'] · X[p,w'] · g[p,c]  — computed
+#     as (H×P)@(P×W·C) matmuls over output-pixel chunks. FLOPs are
+#     O(H·W · Hout·W · C) — dense, but they ride the MXU instead of the
+#     scatter unit: ~2 ms at the training shapes vs 617 ms scattered.
+#     (Backward at full serving resolution would be O((H·W)²·C) and is not
+#     a production path — training uses ≤256² crops.)
+# --------------------------------------------------------------------------- #
+
+
+def _warp_bwd_features(
+    feat_shape, feat_dtype, flow: jnp.ndarray, g: jnp.ndarray
+) -> jnp.ndarray:
+    b, h, w, c = feat_shape
+    hout = flow.shape[1]
+    coord_dtype = jnp.float32
+
+    gx = jnp.arange(w, dtype=coord_dtype)[None, None, :]
+    gy = jnp.arange(hout, dtype=coord_dtype)[None, :, None]
+    x = gx + flow[..., 0].astype(coord_dtype)
+    y = gy + flow[..., 1].astype(coord_dtype)
+    xs = jnp.clip(jnp.floor(x), 0.0, float(max(w - 2, 0))).astype(jnp.int32)
+    ys = jnp.clip(jnp.floor(y), 0.0, float(max(h - 2, 0))).astype(jnp.int32)
+    ph, pw = min(2, h), min(2, w)
+    wy = _tent(y, ys, ph)  # (B, Hout, W, ph) f32
+    wx = _tent(x, xs, pw)
+    # The forward multiplies taps by weights cast to the feature dtype — use
+    # the same cast so the backward is the exact transpose of the forward.
+    wy = wy.astype(feat_dtype).astype(jnp.float32)
+    wx = wx.astype(feat_dtype).astype(jnp.float32)
+
+    p_total = hout * w
+    ysf = ys.reshape(b, p_total)
+    xsf = xs.reshape(b, p_total)
+    wyf = wy.reshape(b, p_total, ph)
+    wxf = wx.reshape(b, p_total, pw)
+    gf = g.astype(jnp.float32).reshape(b, p_total, c)
+
+    # Chunk output pixels so the (B, Pc, W, C) intermediate stays bounded
+    # (~64 MB f32); zero-weight padding rows contribute nothing.
+    pc = min(p_total, max(128, int(64e6 / max(1, b * w * c * 4))))
+    nchunks = -(-p_total // pc)
+    pad = nchunks * pc - p_total
+    if pad:
+        ysf = jnp.pad(ysf, ((0, 0), (0, pad)))
+        xsf = jnp.pad(xsf, ((0, 0), (0, pad)))
+        wyf = jnp.pad(wyf, ((0, 0), (0, pad), (0, 0)))
+        wxf = jnp.pad(wxf, ((0, 0), (0, pad), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, pad), (0, 0)))
+
+    rows = jnp.arange(h, dtype=jnp.int32)
+    cols = jnp.arange(w, dtype=jnp.int32)
+
+    def chunk(acc, args):
+        ys_c, xs_c, wy_c, wx_c, g_c = args  # (B, Pc, ...)
+        onehot_y = jnp.zeros((b, ys_c.shape[1], h), jnp.float32)
+        onehot_x = jnp.zeros((b, xs_c.shape[1], w), jnp.float32)
+        for py in range(ph):
+            onehot_y = onehot_y + wy_c[..., py, None] * (
+                (ys_c + py)[..., None] == rows
+            )
+        for px in range(pw):
+            onehot_x = onehot_x + wx_c[..., px, None] * (
+                (xs_c + px)[..., None] == cols
+            )
+        z = onehot_x[..., :, None] * g_c[..., None, :]  # (B, Pc, W, C)
+        # f32 features need a FULL-precision contraction: the TPU MXU's
+        # DEFAULT precision rounds f32 operands to bf16 (measured 5e-3 abs
+        # gradient error vs the exact scatter); HIGHEST restores 1e-7.
+        # bf16 features keep DEFAULT — their forward is bf16-class anyway.
+        prec = (
+            lax.Precision.HIGHEST if feat_dtype == jnp.float32
+            else lax.Precision.DEFAULT
+        )
+        contrib = jnp.einsum(
+            "bph,bpz->bhz", onehot_y, z.reshape(b, z.shape[1], w * c),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+        return acc + contrib.reshape(b, h, w, c), None
+
+    def to_chunks(a):
+        return jnp.moveaxis(
+            a.reshape(b, nchunks, pc, *a.shape[2:]), 1, 0
+        )
+
+    acc0 = jnp.zeros((b, h, w, c), jnp.float32)
+    acc, _ = lax.scan(
+        chunk, acc0, (to_chunks(ysf), to_chunks(xsf), to_chunks(wyf),
+                      to_chunks(wxf), to_chunks(gf)),
+    )
+    return acc.astype(feat_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flow_warp_diff(chunk_rows, packed_gather, features, flow):
+    return _flow_warp_impl(features, flow, chunk_rows, packed_gather)
+
+
+def _fw_fwd(chunk_rows, packed_gather, features, flow):
+    return _flow_warp_diff(chunk_rows, packed_gather, features, flow), (
+        features, flow,
+    )
+
+
+def _fw_bwd(chunk_rows, packed_gather, res, g):
+    features, flow = res
+    _, vjp_flow = jax.vjp(
+        lambda fl: _flow_warp_impl(features, fl, chunk_rows, packed_gather), flow
+    )
+    (dflow,) = vjp_flow(g)
+    dfeat = _warp_bwd_features(features.shape, features.dtype, flow, g)
+    return dfeat, dflow
+
+
+_flow_warp_diff.defvjp(_fw_fwd, _fw_bwd)

@@ -15,6 +15,7 @@ post-hoc pinning cannot help.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
@@ -63,10 +64,19 @@ def guard_against_wedged_tunnel(timeout_s: float = 240.0) -> bool:
             )
             if probe.returncode == 0:
                 # Settle before the CALLER connects: it would otherwise
-                # land in the probe subprocess's teardown window.
-                import time
+                # land in the probe subprocess's teardown window. Only a
+                # TUNNELED backend has a teardown window — on CPU-only or
+                # direct-attached hosts (the probe prints the backend it
+                # landed on) the sleep is 30 s of pure startup waste
+                # (round-4 advisor finding). NERVE_SKIP_TUNNEL_SETTLE=1
+                # also skips it (for orchestration that already settled).
+                backend = probe.stdout.strip().rsplit(" ", 1)[-1]
+                if backend in ("tpu", "axon") and not os.environ.get(
+                    "NERVE_SKIP_TUNNEL_SETTLE"
+                ):
+                    import time
 
-                time.sleep(30.0)
+                    time.sleep(30.0)
                 return True  # backend executes; use whatever jax picks.
             reason = f"probe rc={probe.returncode}: {probe.stderr.strip()[-200:]}"
         except subprocess.TimeoutExpired:

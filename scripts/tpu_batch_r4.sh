@@ -16,20 +16,10 @@ LOG=${1:-/tmp/tpu_batch_r4.log}
 DEADLINE=$(( $(date +%s) + ${BATCH_BUDGET_S:-18000} ))  # default 5 h
 
 probe() {
-  # 150 s: a healthy probe costs 60-90 s of first-compile over the tunnel
-  # on this loaded 1-CPU host; 90 s misclassified healthy as wedged.
-  timeout 150 python -c "
-import jax, jax.numpy as jnp
-assert jax.default_backend() == 'tpu'
-x = jnp.ones((256, 256))
-assert float((x @ x).sum()) == 256.0 ** 3
-from jax.experimental import pallas as pl
-def k(a, o):
-    o[...] = a[...] * 2.0
-y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(
-    jnp.ones((8, 128), jnp.float32))
-assert float(y.sum()) == 2048.0
-" >/dev/null 2>&1
+  # Shared probe (scripts/tpu_probe.py). 150 s: a healthy probe costs
+  # 60-90 s of first-compile over the tunnel on this loaded 1-CPU host;
+  # 90 s misclassified healthy as wedged.
+  timeout 150 python scripts/tpu_probe.py >/dev/null 2>&1
 }
 
 # "timeout_s<TAB>command" — headline first, cheapest-to-recompile early.

@@ -10,18 +10,9 @@ LOG=${1:-/tmp/tpu_mega.log}
 DEADLINE=$(( $(date +%s) + ${BATCH_BUDGET_S:-18000} ))
 
 probe() {
-  timeout 150 python -c "
-import jax, jax.numpy as jnp
-assert jax.default_backend() == 'tpu'
-x = jnp.ones((256, 256))
-assert float((x @ x).sum()) == 256.0 ** 3
-from jax.experimental import pallas as pl
-def k(a, o):
-    o[...] = a[...] * 2.0
-y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(
-    jnp.ones((8, 128), jnp.float32))
-assert float(y.sum()) == 2048.0
-" >/dev/null 2>&1
+  # Shared probe (scripts/tpu_probe.py). 150 s: a healthy probe costs
+  # 60-90 s of first-compile over the tunnel on this loaded 1-CPU host.
+  timeout 150 python scripts/tpu_probe.py >/dev/null 2>&1
 }
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do

@@ -16,25 +16,9 @@ LOG=${2:-/tmp/tpu_batch_r4.log}
 PROBE_EVERY=${PROBE_EVERY:-300}
 
 probe() {
-  timeout 240 python -c "
-import time
-import jax, jax.numpy as jnp
-assert jax.default_backend() == 'tpu'
-x = jnp.ones((256, 256))
-assert float((x @ x).sum()) == 256.0 ** 3
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-def k(a, o):
-    o[...] = a[...] * 2.0
-y = pl.pallas_call(
-    k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-)(jnp.ones((8, 128), jnp.float32))
-assert float(y.sum()) == 2.0 * 8 * 128
-time.sleep(20)
-z = jnp.ones((512, 512))
-assert float((z @ z).sum()) == 512.0 ** 3
-print('probe ok')
-" >/dev/null 2>&1
+  # Shared probe (scripts/tpu_probe.py); --delay 20 exercises the
+  # delayed-second-dispatch flap mode.
+  timeout 240 python scripts/tpu_probe.py --delay 20 >/dev/null 2>&1
 }
 
 while true; do
