@@ -101,7 +101,6 @@ def bench_train() -> None:
     from nerve_tpu import training
     from nerve_tpu.config.schema import TrainingConfig
     from nerve_tpu.models import SuperResolutionNet
-    from nerve_tpu.models.super_resolution import estimate_sr_flops
     from nerve_tpu.utils import data as data_lib
 
     on_tpu = jax.default_backend() == "tpu"
@@ -138,14 +137,22 @@ def bench_train() -> None:
     once()  # compile
     best = _time_best(once)
     step_ms = best / n_steps * 1000.0
-    # fwd ≈ estimate_sr_flops per frame; fwd+bwd ≈ 3× fwd (standard rule).
-    flops = 3 * bsz * 3 * estimate_sr_flops((lr_size, lr_size), 32, 3, 2) / 4  # 4 blocks vs 8
-    peak = 197e12 if on_tpu else 1e12  # v5e bf16 peak (f32 runs lower)
-    mfu = flops / (best / n_steps) / peak
+    # MFU from the COMPILED program's own FLOP count (XLA cost analysis of
+    # the n-step scan, divided by n) — the round-4 estimate reused the
+    # reference's coarse get_flops parity formula, which models each
+    # 5-dense-conv RDB as a single f→f conv and undercounted ~20×.
+    try:
+        cost = jax.jit(run_n).lower(state, lr_win, hr).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0)) / n_steps
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        flops = 0.0
+    peak = 197e12 if on_tpu else 1e12  # v5e bf16 peak
     _emit("train_step_ms" if on_tpu else "train_step_ms_cpu", step_ms, "ms/step")
     _emit("train_throughput", bsz / (best / n_steps), "samples/sec")
-    if on_tpu:
-        _emit("train_mfu_est", 100 * mfu, "% of bf16 peak (f32 step)")
+    if on_tpu and flops:
+        _emit("train_mfu", 100 * flops / (best / n_steps) / peak,
+              "% of bf16 peak (XLA-counted FLOPs)")
 
 
 # --------------------------------------------------------------------------- #
@@ -160,8 +167,11 @@ def bench_continual() -> None:
     on_tpu = jax.default_backend() == "tpu"
     bsz, lr_size = (8, 64) if on_tpu else (2, 16)
     n_steps = 20 if on_tpu else 2
+    # Same mixed-precision recipe as bench_train: bf16 conv compute, f32
+    # params/Fisher/penalties (the EWC/SI state is f32 pytrees either way).
     model = SuperResolutionNet(
-        scale_factor=2, num_features=32, num_residual_blocks=4, temporal_window=1
+        scale_factor=2, num_features=32, num_residual_blocks=4, temporal_window=1,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     key = jax.random.PRNGKey(0)
     data = data_lib.make_sr_dataset(key, bsz, lr_size=lr_size, scale=2)

@@ -89,8 +89,14 @@ def train_reference_torch(train, test, epochs: int, batch_size: int, lr: float,
 
 
 def train_ours_jax(train, test, epochs: int, batch_size: int, lr: float,
-                   seed: int):
-    """Our stack under the identical protocol; returns (pred NHWC, secs)."""
+                   seed: int, compute_dtype: str = "f32"):
+    """Our stack under the identical protocol; returns (pred NHWC, secs).
+
+    ``compute_dtype='bf16'`` trains with bfloat16 conv compute (f32 params/
+    optimizer/loss — the production TPU recipe); evaluation always runs the
+    f32 forward on the trained f32 params, so the reported quality isolates
+    the TRAINING-precision effect (the bf16-recipe neutrality check,
+    VERDICT r4 item #1)."""
     import jax
     import jax.numpy as jnp
 
@@ -102,6 +108,7 @@ def train_ours_jax(train, test, epochs: int, batch_size: int, lr: float,
     model = SuperResolutionNet(
         scale_factor=2, num_features=32, num_residual_blocks=4,
         temporal_window=1,
+        dtype=jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32,
     )
     cfg = TrainingConfig(
         epochs=epochs, batch_size=batch_size, learning_rate=lr,
@@ -135,7 +142,8 @@ def train_ours_jax(train, test, epochs: int, batch_size: int, lr: float,
 
     lr_e = jnp.asarray(test["lr"])
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    fwd = jax.jit(lambda x: model.apply(variables, x))
+    eval_model = model.clone(dtype=jnp.float32)  # f32 eval on the f32 params
+    fwd = jax.jit(lambda x: eval_model.apply(variables, x))
     preds = []
     for i in range(0, lr_e.shape[0], batch_size):
         preds.append(np.asarray(fwd(data_lib.expand_temporal(
@@ -154,12 +162,17 @@ def main(argv=None):
     p.add_argument("--platform", default="cpu", choices=("cpu", "tpu"),
                    help="JAX platform for OUR side (torch is CPU either way)")
     p.add_argument("--skip-torch", action="store_true")
+    p.add_argument("--dtype", default="f32", choices=("f32", "bf16"),
+                   help="training compute dtype for OUR side (eval stays f32)")
     args = p.parse_args(argv)
 
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # "tpu": leave the default platform list — on this host the TPU is the
+    # tunneled "axon" platform, which jax picks automatically; pinning the
+    # literal "tpu" name would fail to initialize.
 
     from nerve_tpu.utils import data as data_lib
     from nerve_tpu.utils.metrics import mae, mse, psnr, ssim
@@ -198,9 +211,11 @@ def main(argv=None):
         "bicubic": table(bicubic),
     }
     ours_pred, ours_s = train_ours_jax(
-        train, test, args.epochs, args.batch_size, args.lr, args.seed)
+        train, test, args.epochs, args.batch_size, args.lr, args.seed,
+        compute_dtype=args.dtype)
     results["nerve_tpu"] = table(ours_pred)
     results["nerve_tpu"]["train_seconds"] = round(ours_s, 1)
+    results["nerve_tpu"]["train_dtype"] = args.dtype
     if not args.skip_torch:
         ref_pred, ref_s = train_reference_torch(
             train, test, args.epochs, args.batch_size, args.lr, args.seed)

@@ -64,6 +64,28 @@ def test_spatial_exact_interior_with_sufficient_halo(mesh4):
     assert float(jnp.max(jnp.abs(got - want))) < 0.5
 
 
+def test_spatial_exact_full_depth_realistic_slabs(mesh4):
+    """Full default DEPTH (8 RDBs / 64 feats — receptive field R≈55 rows)
+    with 64-row slabs and halo 64: the realistic RF-to-slab ratio of the
+    driver dryrun's 540p-height case (__graft_entry__ case 4b), shrunk in
+    batch-free width for suite runtime. Interior rows must be exact."""
+    key = jax.random.PRNGKey(3)
+    model = SuperResolutionNet(
+        scale_factor=2, num_features=64, num_residual_blocks=8,
+        temporal_window=1, flow_downsample=2,
+    )
+    frames = jax.random.uniform(key, (1, 3, 256, 48, 3), jnp.float32)
+    variables = jax.jit(model.init)(key, frames[:, :, :64, :48])
+
+    want = jax.jit(model.apply)(variables, frames)
+    got = spatial_sr_apply(model, variables, frames, mesh4, halo=64)
+    assert got.shape == want.shape == (1, 512, 96, 3)
+    r = 2 * 70  # scale * (receptive field + margin)
+    np.testing.assert_allclose(
+        np.asarray(got[:, r:-r]), np.asarray(want[:, r:-r]), atol=5e-5
+    )
+
+
 def test_spatial_sharded_io_layout(mesh4):
     key = jax.random.PRNGKey(2)
     model = SuperResolutionNet(
