@@ -292,16 +292,21 @@ def bench_abr() -> None:
 
 
 # --------------------------------------------------------------------------- #
-def bench_sr_full(quantized: bool = False, quantized_chains: bool = False) -> None:
+def bench_sr_full(quantized: bool = False, quantized_chains: bool = False,
+                  pair: bool = False) -> None:
     """Config #1 full pipeline: SuperResolutionNet 1080p→2160p streaming.
 
     The flagship model's streaming serving path (feature-reuse carry, coarse
     flow, packed MXU depth-to-space, every frame materialised). With
-    ``quantized`` the RDB chain runs the int8 path (nerve_tpu.ops.rdb_int8).
+    ``quantized`` the RDB chain runs the int8 path (nerve_tpu.ops.rdb_int8);
+    ``pair`` runs the b2 schedule (two frames per scan step, batched tail —
+    streaming.streaming_step_pair, +1 frame latency).
     """
     from nerve_tpu.models import SuperResolutionNet
     from nerve_tpu.models.quantize import quantize_sr_variables
-    from nerve_tpu.models.streaming import streaming_prime, streaming_step
+    from nerve_tpu.models.streaming import (
+        streaming_prime, streaming_step, streaming_step_pair,
+    )
 
     on_tpu = jax.default_backend() == "tpu"
     h, w = (1080, 1920) if on_tpu else (72, 128)
@@ -339,12 +344,34 @@ def bench_sr_full(quantized: bool = False, quantized_chains: bool = False) -> No
         )
         return acc + jnp.float32(ys[-1, 0, -1, -1])
 
-    float(run_n(variables, frames))
-    best = _time_best(lambda: float(run_n(variables, frames)))
+    @jax.jit
+    def run_n_pair(v, x):
+        carry0 = streaming_prime(model, v, x[:, 0])
+
+        def body(state, _):
+            carry, frame, acc = state
+            carry, (o1, o2) = streaming_step_pair(
+                model, v, carry, frame, x[:, 2], "packed"
+            )
+            s = jnp.mean(o1[0, :64, :64], dtype=jnp.float32) + jnp.mean(
+                o2[0, :64, :64], dtype=jnp.float32
+            )
+            bump = frame[:1, :1, :1, :1] + (s * 1e-12).astype(frame.dtype)
+            frame = jax.lax.dynamic_update_slice(frame, bump, (0, 0, 0, 0))
+            return (carry, frame, acc + s), (o1, o2)
+
+        (_, _, acc), (y1, y2) = jax.lax.scan(
+            body, (carry0, x[:, 1], jnp.float32(0)), None, length=n_frames // 2
+        )
+        return acc + jnp.float32(y1[-1, 0, -1, -1]) + jnp.float32(y2[-1, 0, -1, -1])
+
+    run = run_n_pair if pair else run_n
+    float(run(variables, frames))
+    best = _time_best(lambda: float(run(variables, frames)))
     fps = n_frames / best
     tag = (
         "int8full" if quantized_chains else ("int8" if quantized else "bf16")
-    )
+    ) + ("_b2" if pair else "")
     _emit(
         f"sr_full_1080p_2x_fps_{tag}" if on_tpu else f"sr_full_proxy_fps_cpu_{tag}",
         fps, "frames/sec/chip", fps / 60.0,
@@ -361,10 +388,20 @@ def bench_sr_full_int8_chains() -> None:
     bench_sr_full(quantized=True, quantized_chains=True)
 
 
+def bench_sr_full_b2() -> None:
+    bench_sr_full(pair=True)
+
+
+def bench_sr_full_int8_b2() -> None:
+    bench_sr_full(quantized=True, pair=True)
+
+
 ALL = {
     "sr_full": bench_sr_full,
     "sr_full_int8": bench_sr_full_int8,
     "sr_full_int8full": bench_sr_full_int8_chains,
+    "sr_full_b2": bench_sr_full_b2,
+    "sr_full_int8_b2": bench_sr_full_int8_b2,
     "lightweight": bench_lightweight,
     "engine": bench_engine,
     "train": bench_train,

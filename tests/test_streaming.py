@@ -45,6 +45,37 @@ def test_streaming_matches_windowed(tw):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.parametrize("tw", [1, 2])
+def test_pair_step_matches_two_single_steps(tw):
+    """The b2 schedule (streaming_step_pair) must emit the same frames and
+    leave the same carry as two sequential streaming_steps — it only
+    BATCHES the work (extract/warp/fuse at 2B), never changes the math."""
+    from nerve_tpu.models.streaming import streaming_step_pair
+
+    key = jax.random.PRNGKey(3)
+    model = SuperResolutionNet(
+        scale_factor=2, num_features=16, num_residual_blocks=1, temporal_window=tw
+    )
+    video = jax.random.uniform(key, (1, 2 * tw + 4, 10, 16, 3), jnp.float32)
+    variables = model.init(key, video[:, : 2 * tw + 1])
+
+    carry = streaming_prime(model, variables, video[:, 0])
+    for t in range(1, 2 * tw + 1):  # fill the window with distinct frames
+        carry, _ = streaming_step(model, variables, carry, video[:, t])
+
+    c_seq, out1 = streaming_step(model, variables, carry, video[:, 2 * tw + 1])
+    c_seq, out2 = streaming_step(model, variables, c_seq, video[:, 2 * tw + 2])
+    c_pair, (p1, p2) = streaming_step_pair(
+        model, variables, carry, video[:, 2 * tw + 1], video[:, 2 * tw + 2]
+    )
+
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(out1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(out2), atol=2e-5)
+    assert len(c_pair) == len(c_seq)
+    for a, b in zip(c_pair, c_seq):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_streaming_step_carry_shapes():
     key = jax.random.PRNGKey(1)
     model = SuperResolutionNet(
