@@ -253,20 +253,93 @@ def make_kernel(th, tw, features, mode, img_h=1080, img_w=1920):
                       "flat_dx_strips_xonce",    # hoist operand reshape/layer
                       "flat_dx_strips_f32y",     # no intermediate bf16 cast
                       "flat_dx_strips_accbf16",  # bf16 accumulator (approx)
-                      "flat_dx_strips_xonce_accbf16")
+                      "flat_dx_strips_xonce_accbf16",
+                      # round-5 probe: tap extraction as MXU SELECTION
+                      # MATMULS — hypothesis: the 21 ms full−matonly gap is
+                      # the 32-lane sub-register slices (y[..., dy*32:+32]),
+                      # which Mosaic must lower as cross-lane shuffles. Here
+                      # each tap is y2d @ S_dy with S a 0/1 (96, 32)
+                      # selector, so every subsequent add touches only
+                      # lane-0-aligned 32-wide blocks. Exact math.
+                      # MEASURED 48.8 ms vs 30.4 — NEGATIVE.
+                      "flat_dx_selmm_strips",
+                      # round-5 probes: software-pipelined chunk schedule.
+                      # noshift (29.2 ms, no adds at all) vs matonly (9.5)
+                      # says the gap is the serialised matmul→materialise
+                      # cadence, NOT the shifted adds. pipe issues chunk
+                      # i+1's matmul BEFORE chunk i's VPU phase; pipe3
+                      # issues all three, then all VPU work. Exact math.
+                      "flat_dx_strips_pipe", "flat_dx_strips_pipe3")
         if mode in flat_modes:
             dx_major = "dx" in mode
             pet = "pet" in mode
             xonce = "xonce" in mode
             f32y = "f32y" in mode
+            selmm = "selmm" in mode
+            pipe = "pipe" in mode and "pipe3" not in mode
+            pipe3 = "pipe3" in mode
             accdt = jnp.bfloat16 if "accbf16" in mode else jnp.float32
+            if selmm:
+                rsel = lax.broadcasted_iota(jnp.int32, (3 * GROWTH, GROWTH), 0)
+                csel = lax.broadcasted_iota(jnp.int32, (3 * GROWTH, GROWTH), 1)
+                sels = [
+                    (rsel == dy * GROWTH + csel).astype(jnp.bfloat16)
+                    for dy in range(3)
+                ]
             for i, w_ref in enumerate(w_all):
                 acc = jnp.zeros((hh, ww, GROWTH), accdt)
+                if pipe or pipe3:
+                    def vpu_phase(y, outer, acc):
+                        y = y.astype(jnp.bfloat16)
+                        ysub = y[:, outer:outer + ww, :]
+                        for dy in range(3):
+                            acc = acc + ysub[
+                                dy:dy + hh, :, dy * GROWTH:(dy + 1) * GROWTH
+                            ].astype(accdt)
+                        return acc
+
+                    if pipe3:
+                        ys = [matmul_cols(w_ref, 3 * o * GROWTH,
+                                          (3 * o + 3) * GROWTH)
+                              for o in range(3)]
+                        for o in range(3):
+                            acc = vpu_phase(ys[o], o, acc)
+                    else:
+                        y_next = matmul_cols(w_ref, 0, 3 * GROWTH)
+                        for o in range(3):
+                            y = y_next
+                            if o < 2:
+                                y_next = matmul_cols(
+                                    w_ref, 3 * (o + 1) * GROWTH,
+                                    (3 * (o + 1) + 3) * GROWTH,
+                                )
+                            acc = vpu_phase(y, o, acc)
+                    f = jnp.maximum(acc, 0.0)
+                    ki = _layer_k(i, features)
+                    scratch[1:1 + hh, 1:1 + ww, ki:ki + GROWTH] = f.astype(
+                        scratch.dtype)
+                    zero_strips_full()
+                    continue
                 if xonce:
                     k = w_ref.shape[0]
                     xop = scratch[:, :, :k].reshape(m, k)
                 for outer in range(3):  # dy for row-major packs, dx for dx-major
                     n0, n1 = 3 * outer * GROWTH, (3 * outer + 3) * GROWTH
+                    if selmm:
+                        k = w_ref.shape[0]
+                        y2d = lax.dot_general(
+                            scratch[:, :, :k].reshape(m, k), w_ref[:, n0:n1],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(jnp.bfloat16)  # (m, 96)
+                        for dy in range(3):
+                            t = lax.dot_general(
+                                y2d, sels[dy], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ).reshape(ph, pw, GROWTH)
+                            ysub = t[:, outer:outer + ww, :]
+                            acc = acc + ysub[dy:dy + hh].astype(accdt)
+                        continue
                     if xonce:
                         y = lax.dot_general(
                             xop, w_ref[:, n0:n1], (((1,), (0,)), ((), ())),
@@ -353,7 +426,9 @@ def run_variant(x, params, th, tw, mode, over):
                    "chunk_dx_pet", "chunk_dy_pet", "flat", "flat_strips",
                    "flat_dx_strips", "flat_dy_pet_strips", "flat_dx_pet_strips",
                    "flat_dx_strips_xonce", "flat_dx_strips_f32y",
-                   "flat_dx_strips_accbf16", "flat_dx_strips_xonce_accbf16")
+                   "flat_dx_strips_accbf16", "flat_dx_strips_xonce_accbf16",
+                   "flat_dx_selmm_strips", "flat_dx_strips_pipe",
+                   "flat_dx_strips_pipe3")
     if mode in exact_modes:
         from nerve_tpu.ops.rdb import _rdb_xla
         ref = jax.jit(_rdb_xla)(x, params)
