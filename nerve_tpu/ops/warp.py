@@ -253,7 +253,7 @@ def _warp_bwd_features(
     rows = jnp.arange(h, dtype=jnp.int32)
     cols = jnp.arange(w, dtype=jnp.int32)
 
-    def chunk(acc, args):
+    def chunk(acc, args):  # noqa: ANN001
         ys_c, xs_c, wy_c, wx_c, g_c = args  # (B, Pc, ...)
         onehot_y = jnp.zeros((b, ys_c.shape[1], h), jnp.float32)
         onehot_x = jnp.zeros((b, xs_c.shape[1], w), jnp.float32)
@@ -286,10 +286,16 @@ def _warp_bwd_features(
         )
 
     acc0 = jnp.zeros((b, h, w, c), jnp.float32)
-    acc, _ = lax.scan(
-        chunk, acc0, (to_chunks(ysf), to_chunks(xsf), to_chunks(wyf),
-                      to_chunks(wxf), to_chunks(gf)),
-    )
+    if nchunks == 1:
+        # Training shapes fit one chunk; skip the scan machinery (smaller
+        # HLO — this backward is re-traced under vmap(grad) by the Fisher
+        # path, where the scan's extra program structure costs compile time).
+        acc, _ = chunk(acc0, (ysf, xsf, wyf, wxf, gf))
+    else:
+        acc, _ = lax.scan(
+            chunk, acc0, (to_chunks(ysf), to_chunks(xsf), to_chunks(wyf),
+                          to_chunks(wxf), to_chunks(gf)),
+        )
     return acc.astype(feat_dtype)
 
 
