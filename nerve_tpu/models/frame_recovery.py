@@ -107,21 +107,18 @@ class FusionModule(nn.Module):
         a = nn.relu(nn.Conv(self.out_channels // 4, (1, 1), dtype=self.dtype, name="attn0")(aligned))
         attn = nn.softmax(nn.Conv(2, (1, 1), dtype=self.dtype, name="attn1")(a), axis=-1)
 
-        # Learned projections (reference defect fix — see module docstring),
-        # INITIALISED at the reference's fixed channel-mean constants (1/c
-        # ones, frame_recovery.py:243-250 there): fresh training starts with
-        # exactly the reference's fusion behaviour and learns from it, rather
-        # than spending early epochs un-learning random-projection noise
-        # (measured −0.18 dB at the 10-epoch inpainting protocol with
-        # lecun init, scripts/recovery_protocol.py round 5).
-        def mean_init(_key, shape, dtype=jnp.float32):
-            return jnp.full(shape, 1.0 / shape[2], dtype)
-
+        # Learned projections (reference defect fix — see module docstring).
+        # Init A/B (scripts/recovery_protocol.py, 10-epoch masked-PSNR
+        # protocol, round 5): initialising these at the reference's fixed
+        # 1/c channel-mean constants measured −0.6 dB vs lecun-random
+        # (14.75-15.26 vs 15.52-15.85 dB across 10-40 % masks) — the
+        # constant kernel starts every projection output channel identical,
+        # and breaking that symmetry costs more than learning from noise.
+        # Lecun-random stands; the torch-import path still materialises the
+        # 1/c constants for exact imported-weights parity.
         spatial_proj = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                               kernel_init=mean_init,
                                dtype=self.dtype, name="spatial_proj")(spatial_feat)
         temporal_proj = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                                kernel_init=mean_init,
                                 dtype=self.dtype, name="temporal_proj")(temporal_feat)
 
         fused = attn[..., 0:1] * spatial_proj + attn[..., 1:2] * temporal_proj
