@@ -46,12 +46,15 @@ def main(argv=None):
     p.add_argument("--features", type=int, default=32)
     p.add_argument("--blocks", type=int, default=4)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--dtype", default="f32", choices=("f32", "bf16"))
     args = p.parse_args(argv)
 
     b, hw, f = args.batch, args.lr_size, args.features
+    import jax.numpy as _jnp
     model = SuperResolutionNet(
         scale_factor=2, num_features=f, num_residual_blocks=args.blocks,
         temporal_window=1,
+        dtype=_jnp.bfloat16 if args.dtype == "bf16" else _jnp.float32,
     )
     key = jax.random.PRNGKey(0)
     data = data_lib.make_sr_dataset(key, b, lr_size=hw, scale=2)
